@@ -1,0 +1,136 @@
+"""String kernel unit tests.
+
+Expected values are the reference's *observed* outputs (probed by
+executing /root/reference/mhdb/write_ttl.py functions during the survey,
+plus literal forms visible in /root/reference/output/chills.ttl).
+"""
+
+import pytest
+
+from mhdb_tables2turtles_spark.functions.strings import (
+    anyuri_literal,
+    format_iri,
+    gyear_literal,
+    language_literal,
+    normalize_text,
+    to_label,
+    typed_literal,
+)
+
+
+class TestNormalizeText:
+    def test_basic_strip(self):
+        assert normalize_text("  hi there \n") == "hi there"
+
+    def test_newline_to_space(self):
+        assert normalize_text("a\nb") == "a b"
+
+    def test_quote_escape(self):
+        assert normalize_text('say "hi"') == 'say \\"hi\\"'
+
+    def test_replacements_after_escape(self):
+        # the language_literal two-step: " -> \" -> \' sequence survives
+        assert normalize_text('say "hi"', (('"', "'"),)) == "say \\'hi\\'"
+
+    def test_falsy(self):
+        assert normalize_text(None) == ""
+        assert normalize_text("") == ""
+
+    def test_non_string(self):
+        assert normalize_text(42) == "42"
+
+
+class TestLanguageLiteral:
+    def test_plain(self):
+        assert language_literal("Canada goose") == '"""Canada goose"""@en'
+
+    def test_lang_tag(self):
+        assert language_literal("oie", "fr") == '"""oie"""@fr'
+
+    def test_escaped_quote_artifact(self):
+        # visible throughout the golden output, e.g. \'aesthetic\'
+        assert language_literal("'aesthetic'") == "\"\"\"'aesthetic'\"\"\"@en"
+        assert language_literal('"aesthetic"') == '"""\\\'aesthetic\\\'"""@en'
+
+    def test_idempotent_on_own_content(self):
+        once = language_literal('a "quoted" word')
+        content = once[3:-6]
+        assert language_literal(content) == once
+
+
+class TestToLabel:
+    def test_pascal_title_semantics(self):
+        # str.title uppercases after ANY non-alpha char
+        assert to_label("Go/no-go task", "PascalCase") == "GoNo-GoTask"
+
+    def test_pascal_acronym_lowered(self):
+        assert (
+            to_label("stimulus onset asynchrony (SOA)", "PascalCase")
+            == "StimulusOnsetAsynchronySoa"
+        )
+
+    def test_pascal_hyphen_uppercase(self):
+        assert (
+            to_label("top-down and bottom-up", "PascalCase")
+            == "Top-DownAndBottom-Up"
+        )
+
+    def test_camel(self):
+        assert to_label("WRITE this in camelcase", "camelCase") == (
+            "writeThisInCamelcase"
+        )
+
+    def test_delimited(self):
+        assert to_label("WRITE this-in delimited") == "WRITE_this-in_delimited"
+
+    def test_delimited_squeeze(self):
+        assert to_label("a  b") == "a_b"
+        assert to_label("a - b") == "a-b"
+        assert to_label("a--b") == "a-b"
+
+    def test_keeps_only_alnum_dash_underscore(self):
+        assert to_label("a.b(c)!", "PascalCase") == "ABC"
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            to_label("")
+
+
+class TestFormatIri:
+    def test_plain_label(self):
+        assert format_iri("Paper") == ":Paper"
+
+    def test_pascal(self):
+        assert format_iri("research paper", "PascalCase") == ":ResearchPaper"
+
+    def test_prefixed_passthrough(self):
+        assert format_iri("fabio:hasPublicationYear") == (
+            "fabio:hasPublicationYear"
+        )
+
+    def test_minted_passthrough_idempotent(self):
+        assert format_iri(":Paper") == ":Paper"
+        assert format_iri(":GoNo-GoTask") == ":GoNo-GoTask"
+
+    def test_trailing_colon_dropped(self):
+        assert format_iri("Paper:") == ":Paper"
+
+    def test_url_wrapped_and_collapsed(self):
+        assert format_iri("http://example.org/x") == "<httpexampleorgx>"
+
+    def test_url_with_space_is_not_a_url(self):
+        assert format_iri("http://example.org/x y") == ":httpexampleorgx_y"
+
+    def test_strips(self):
+        assert format_iri("  Paper  ") == ":Paper"
+
+
+class TestTypedLiterals:
+    def test_anyuri(self):
+        assert anyuri_literal(" http://x.org ") == '"http://x.org"^^xsd:anyURI'
+
+    def test_gyear(self):
+        assert gyear_literal(2017.0) == '"2017"^^xsd:gyear'
+
+    def test_int(self):
+        assert typed_literal(30, "int") == '"30"^^xsd:int'
