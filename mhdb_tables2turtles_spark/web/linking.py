@@ -1,0 +1,138 @@
+"""Entity linking: alias-dictionary candidates + TF-IDF context scoring.
+
+Generalizes the reference's FK label lookups (exact equality against a
+dimension sheet, /root/reference/mhdb/ingest.py:445-446, :3192-3193) to
+ambiguous surface forms: several ontology entities may share a surface
+("sound" the Measure vs "Sound" the StimulusCategory); the winner is the
+entity whose profile text (label + definition) best matches the page, by
+TF-IDF-weighted token overlap.
+
+Plan shape (all built-in ops, Catalyst-optimizable):
+
+  mentions ⨝B vocab(surface)                      -- broadcast: dictionary is tiny
+  pages ⟕ explode(tokens) -> (url, token, tf)      -- only pages w/ ambiguous mentions
+  ⨝ idf(token)  ⨝B entity_tokens(token)            -- sparse dot product as a join-agg
+  groupBy(url, entity) sum(tf·idf²)                -- map-side partial agg
+  row_number over (url, surface)                   -- pick argmax
+
+The only wide shuffles key on ``url`` and ``token`` — both high-cardinality
+and uniform at web scale (no hub keys), so this survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["candidate_entities", "token_idf", "link_mentions"]
+
+
+def candidate_entities(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
+    """mentions(url, surface) x vocab(surface, entity_iri, is_alias) —
+    dictionary join, broadcast (the vocabulary is ontology-sized)."""
+    return mentions.join(
+        F.broadcast(vocab.select("surface", "entity_iri", "is_alias")),
+        "surface",
+    )
+
+
+def token_idf(pages: DataFrame) -> DataFrame:
+    """(token, idf) over the page corpus: idf = ln((N+1)/(df+1)) + 1.
+
+    One pass: explode distinct tokens per page, count pages per token.
+    """
+    n_pages = pages.count()
+    return (
+        pages.select(
+            F.col("url"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("token"),
+        )
+        .filter(F.length("token") > 1)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "token",
+            (F.log((F.lit(n_pages) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias(
+                "idf"
+            ),
+        )
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    vocab: DataFrame,
+    pages: DataFrame,
+    profiles: DataFrame,
+) -> DataFrame:
+    """-> (url, surface, entity_iri, score, is_ambiguous).
+
+    Unambiguous surfaces short-circuit the scorer entirely (the common
+    case); only pages containing ambiguous surfaces pay for tokenization.
+    """
+    cands = candidate_entities(mentions, vocab).select(
+        "url", "surface", "entity_iri", "is_alias"
+    ).distinct()
+
+    amb_surfaces = (
+        vocab.groupBy("surface")
+        .agg(F.count_distinct("entity_iri").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("surface")
+    )
+    amb = cands.join(F.broadcast(amb_surfaces), "surface")
+    unamb = cands.join(F.broadcast(amb_surfaces), "surface", "left_anti")
+
+    # pages that actually need scoring (semi-join prunes the token scan)
+    amb_pages = pages.join(amb.select("url").distinct(), "url", "left_semi")
+    page_tokens = (
+        amb_pages.select(
+            "url",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 1)
+        .groupBy("url", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    entity_tokens = profiles.select(
+        "entity_iri",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("profile_text")), r"\s+"))
+        ).alias("token"),
+    ).filter(F.length("token") > 1)
+
+    idf = token_idf(pages)
+    scores = (
+        page_tokens.join(idf, "token")
+        .join(F.broadcast(entity_tokens), "token")
+        .groupBy("url", "entity_iri")
+        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("idf")).alias("score"))
+    )
+
+    w = Window.partitionBy("url", "surface").orderBy(
+        F.desc_nulls_last("score"),
+        F.col("is_alias").cast("int"),
+        F.col("entity_iri"),
+    )
+    linked_amb = (
+        amb.join(scores, ["url", "entity_iri"], "left")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "url",
+            "surface",
+            "entity_iri",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.lit(True).alias("is_ambiguous"),
+        )
+    )
+    linked_unamb = unamb.select(
+        "url",
+        "surface",
+        "entity_iri",
+        F.lit(1.0).alias("score"),
+        F.lit(False).alias("is_ambiguous"),
+    )
+    return linked_unamb.unionByName(linked_amb)

@@ -1,0 +1,106 @@
+"""Staged graph materialization: atomic per-stage commits, per-partition
+lineage, counters, resume.
+
+Iceberg-style semantics emulated on plain parquet (the sandbox has no
+catalog service): a stage is *committed* only once its parquet write has
+finished AND a ``_STAGE_MANIFEST.json`` (rows, per-partition lineage,
+counters, upstream stages) lands next to it.  A killed job leaves either
+nothing or an uncommitted directory — both of which :meth:`stage`
+recomputes with ``mode=overwrite`` — so a restart resumes from the last
+committed snapshot and never duplicates committed work (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+On a real cluster, swap ``_write_parquet``/``_read`` for
+``writeTo(...).createOrReplace()`` on an Iceberg catalog; the manifest
+maps onto Iceberg's own snapshot summary + a lineage table.
+
+Counters use ``pyspark.sql.Observation`` (batch `observe`): row counts are
+collected from the *same job* that writes the data — no second scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["StagedPipeline"]
+
+MANIFEST = "_STAGE_MANIFEST.json"
+LINEAGE_COL = "__lineage_part"
+
+
+class StagedPipeline:
+    """Chain DataFrame stages with commit/resume per stage."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.log: list[str] = []
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def is_committed(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), MANIFEST))
+
+    def manifest(self, name: str) -> dict:
+        with open(os.path.join(self._path(name), MANIFEST)) as f:
+            return json.load(f)
+
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        upstream: tuple[str, ...] = (),
+        partitions: int | None = None,
+    ) -> DataFrame:
+        """Return the stage's committed output, computing it only if no
+        committed snapshot exists."""
+        path = self._path(name)
+        if self.is_committed(name):
+            self.log.append(f"resume:{name}")
+            return self.spark.read.parquet(path).drop(LINEAGE_COL)
+
+        self.log.append(f"compute:{name}")
+        df = build().withColumn(LINEAGE_COL, F.spark_partition_id())
+        if partitions:
+            df = df.repartition(partitions)
+        obs = Observation(f"stage_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        df.write.mode("overwrite").parquet(path)
+
+        # per-partition lineage: row counts per source partition, read
+        # back from the committed files (parquet stats; single small scan
+        # of one int column)
+        lineage = {
+            str(r[LINEAGE_COL]): r["n"]
+            for r in self.spark.read.parquet(path)
+            .groupBy(LINEAGE_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest = {
+            "stage": name,
+            "rows": obs.get["rows"],
+            "upstream": list(upstream),
+            "partitions": lineage,
+            "n_partitions": len(lineage),
+        }
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path + "/" + MANIFEST)  # atomic commit point
+        return self.spark.read.parquet(path).drop(LINEAGE_COL)
+
+    def counters(self) -> dict[str, int]:
+        """Committed row counts per stage."""
+        out = {}
+        for name in sorted(os.listdir(self.workdir)):
+            if self.is_committed(name):
+                out[name] = self.manifest(name)["rows"]
+        return out

@@ -1,0 +1,107 @@
+"""Mention detection + (subj, pred, obj) triple extraction over web pages.
+
+Arrow-batched ``mapInPandas`` runs the Aho-Corasick automaton
+(:mod:`trie`) over each page's extracted text; the surface list rides in a
+Spark broadcast and the automaton is memoized per worker.  Everything
+downstream of the scan is built-in DataFrame ops (broadcast joins,
+groupBy) — no per-row Python.
+
+Triple semantics generalize the reference's row->triple minting
+(/root/reference/mhdb/ingest.py:3084-3996): a page is a subject (IRI
+minted from its URL with the same ``check_iri`` semantics as
+/root/reference/mhdb/write_ttl.py:219-260), each linked vocabulary entity
+an object.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.functions import udfs
+from mhdb_tables2turtles_spark.web.trie import automaton_for
+
+__all__ = ["scan_mentions", "page_entity_triples", "cooccurrence_edges"]
+
+MENTIONS_SCHEMA = "url string, surface string, start int, end int, n_tokens_left int"
+
+# context window (chars) on each side of a match, for the linking scorer
+_CTX = 120
+
+
+def scan_mentions(pages: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
+    """pages(url, text) -> one row per vocabulary occurrence.
+
+    ``surfaces`` must be lowercase; matching is case-insensitive on
+    word boundaries.
+    """
+    spark = pages.sparkSession
+    bc = spark.sparkContext.broadcast(tuple(surfaces))
+
+    def scan(batches):
+        patterns = bc.value
+        auto = automaton_for(patterns)
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                low = text.lower()
+                for start, end, idx in auto.find_words(low):
+                    rows.append(
+                        (url, patterns[idx], start, end, low.count(" ", 0, start))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "surface", "start", "end", "n_tokens_left"],
+            )
+
+    return pages.select("url", "text").mapInPandas(scan, schema=MENTIONS_SCHEMA)
+
+
+def page_entity_triples(linked: DataFrame) -> DataFrame:
+    """linked(url, entity_iri[, entity_type]) -> triple DataFrame.
+
+    Emits, per page: ``<pageIRI> a :WebPage``, ``:hasURL`` typed literal,
+    and one ``:mentions`` triple per distinct linked entity — the
+    web-scale analogue of the reference's per-row type + FK triples.
+    """
+    subj = udfs.iri(F.col("url"))
+    per_page = linked.select("url").distinct().select(
+        subj.alias("subject"),
+        F.col("url"),
+    )
+    decl = per_page.select(
+        "subject", F.lit("a").alias("predicate"), F.lit(":WebPage").alias("object")
+    )
+    urls = per_page.select(
+        "subject",
+        F.lit(":hasURL").alias("predicate"),
+        F.format_string('"%s"^^xsd:anyURI', F.col("url")).alias("object"),
+    )
+    ments = (
+        linked.select(subj.alias("subject"), F.col("entity_iri").alias("object"))
+        .distinct()
+        .select("subject", F.lit(":mentions").alias("predicate"), "object")
+    )
+    return decl.unionByName(urls).unionByName(ments)
+
+
+def cooccurrence_edges(linked: DataFrame) -> DataFrame:
+    """Distinct (entity_a < entity_b) pairs linked on the same page, with
+    page counts — the co-mention graph feeding canonicalization and
+    downstream analytics.  Self-join is on ``url`` (page-local), so the
+    shuffle is keyed by url: uniform, no hub skew."""
+    ents = linked.select("url", "entity_iri").distinct()
+    a = ents.alias("a")
+    b = ents.alias("b")
+    return (
+        a.join(b, "url")
+        .filter(F.col("a.entity_iri") < F.col("b.entity_iri"))
+        .groupBy(
+            F.col("a.entity_iri").alias("entity_a"),
+            F.col("b.entity_iri").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+    )

@@ -1,0 +1,101 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+Schema per BASELINE.json ``input_hint``:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Generation is distributed (``spark.range`` -> ``mapInPandas``) and a pure
+function of ``(seed, page_id)`` — no wall clock, no global RNG — so the
+same table materializes bit-identically at any parallelism, which is what
+lets the local[8]-vs-local[32] scaling run compare like with like.
+
+Pages embed ontology surface forms (from :mod:`vocab`) inside filler
+prose, plus script/style/comment/entity noise so the extractor
+(:mod:`extract`) is actually exercised.  The committed ``text`` column is
+``extract_text(html)`` by construction — the pipeline's stage 1 must
+reproduce it byte-for-byte (the per-row invariant).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from mhdb_tables2turtles_spark.web.extract import extract_text
+
+__all__ = ["PAGES_SCHEMA", "synthesize_pages"]
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_LANGS = ("en", "en", "en", "de", "fr", "es", "zh")
+
+_FILLER = (
+    "study results participants reported during the trial with baseline "
+    "measures and control groups across sessions the analysis showed "
+    "significant effects for condition and stimulus while subjects rated "
+    "their experience on a scale music passages were presented under "
+    "laboratory conditions and responses were recorded for later review"
+).split()
+
+_TEMPLATE = """<html><head><title>{title}</title>
+<style>body {{ font: 12px serif; }}</style>
+<script>var tracker = "{pid}"; load();</script>
+</head><body>
+<!-- crawler-id {pid} -->
+<h1>{title}</h1>
+<nav>home &amp; archive</nav>
+{paras}
+<footer>&copy; example.org</footer>
+</body></html>"""
+
+
+def _page_record(pid: int, seed: int, surfaces: list[str]) -> dict:
+    rng = random.Random((seed << 32) ^ pid)  # deterministic per (seed, id)
+    lang = _LANGS[pid % len(_LANGS)]
+    n_paras = rng.randint(2, 5)
+    paras = []
+    for _ in range(n_paras):
+        words = []
+        for _ in range(rng.randint(20, 60)):
+            if surfaces and rng.random() < 0.18:
+                words.append(rng.choice(surfaces))
+            else:
+                words.append(rng.choice(_FILLER))
+        paras.append("<p>" + " ".join(words) + "</p>")
+    title = f"report {pid} on {rng.choice(surfaces) if surfaces else 'data'}"
+    html = _TEMPLATE.format(title=title, pid=pid, paras="\n".join(paras)).encode(
+        "utf-8"
+    )
+    return {
+        "url": f"https://example.org/crawl/{pid:012d}",
+        # fixed epoch + deterministic offset; never the wall clock
+        "warc_ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=pid * 37 % 86_400),
+        "html": html,
+        "text": extract_text(html),
+        "lang": lang,
+    }
+
+
+def synthesize_pages(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    surfaces: tuple[str, ...] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed generator: one deterministic page per id in
+    ``[0, n_pages)``.  ``surfaces`` (the vocabulary) ships with the closure
+    — it is small (ontology-sized), so no broadcast plumbing needed."""
+    surf = list(surfaces)
+    ids = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_page_record(int(i), seed, surf) for i in pdf["id"]]
+            )
+
+    return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
