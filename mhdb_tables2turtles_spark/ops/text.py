@@ -1,0 +1,115 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Every operator is a pure column expression over ``(doc_id, text)`` —
+row-local, zero shuffle, whole-stage codegen — and deterministic, so the
+DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops.common import hash60, norm_text, shingles, tokens
+
+__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+
+# Tiny per-language marker lists (function-word heuristic).  Chosen for
+# determinism, not linguistic coverage — swap for fastText off-sandbox.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "las"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars, avg_token_len,
+    distinct_ratio) — whitespace tokenization plus a BPE-ish word-piece
+    count (runs of letters OR digits OR single other chars)."""
+    toks = tokens(F.col("text"))
+    pieces = F.regexp_extract_all(
+        norm_text(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(norm_text(F.col("text"))).alias("n_chars"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("distinct_ratio"),
+        F.size(pieces).alias("n_pieces"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Gopher-style filter features + a composite score in [0, 1]:
+    penalize too-short/too-long docs, low lexical diversity, and
+    stopword-free word soup.  All row-local arithmetic."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    len_ok = F.when((n >= 20) & (n <= 100000), 1.0).otherwise(0.0)
+    stop_ratio = stop_hits / n
+    score = F.round(
+        0.4 * len_ok
+        + 0.3 * F.least(distinct_ratio * 2, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax of per-language marker-word
+    hit counts; 'und' (undetermined) when no marker hits.  Ties break
+    alphabetically — same rule in the SQL oracle."""
+    toks = tokens(F.col("text"))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(code)
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", F.size(toks).alias("n"), *scores)
+    codes = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(c) for c in codes])
+    pred = F.when(best <= 0, F.lit("und"))
+    for c in codes:  # first (alphabetical) language achieving the max
+        pred = pred.when(F.col(c) == best, F.lit(c))
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(best / F.greatest(F.col("n"), F.lit(1)), 4).alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, content_hash, winnow_hash): full-content 60-bit hash plus
+    a shift-robust fingerprint = min hash60 over word k-grams (a rolling-
+    window min, winnowing-style) — equal for docs that differ only by
+    leading/trailing content outside every shared window."""
+    sh = shingles(tokens(F.col("text")), k)
+    winnow = F.array_min(F.transform(sh, lambda s: hash60(s)))
+    return docs.select(
+        "doc_id",
+        hash60(norm_text(F.col("text"))).alias("content_hash"),
+        winnow.alias("winnow_hash"),
+    )

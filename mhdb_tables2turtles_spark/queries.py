@@ -1,0 +1,800 @@
+"""Driver-contract query catalog: every implemented operator family as a
+(spark_fn, oracle_sql) pair over the driver's testdata tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+each oracle is ANSI/DuckDB SQL over views named after the parquet files.
+Column names and value determinism are part of the contract (the driver
+hash-compares sorted values), hence:
+
+* money/ratio aggregates go through exact decimal sums, then a rounded
+  double — both engines produce bit-identical results;
+* all hashing is md5-derived (:mod:`ops.common.hash60`);
+* ties in every window/top-k break on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.functions import udfs
+from mhdb_tables2turtles_spark.ops import dedup, multimodal, similarity, text
+from mhdb_tables2turtles_spark.ops.common import hash60, norm_text, tokens
+from mhdb_tables2turtles_spark.web.canonicalize import connected_components
+from mhdb_tables2turtles_spark.web.mentions import scan_mentions
+
+# ---------------------------------------------------------------- helpers
+
+# vocabulary for the KG queries over `documents` (single lowercase tokens,
+# so Aho-Corasick word matching == token equality and the SQL oracle can
+# express the same scan)
+KG_VOCAB = (
+    "spark", "query", "join", "filter", "scan", "sort",
+    "merge", "group", "window", "stream", "vector", "hash",
+)
+
+# SQL building blocks (DuckDB dialect, mirroring ops.common exactly)
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_hash60(x: str) -> str:
+    return f"('0x'||substr(md5({x}),1,15))::BIGINT"
+
+
+def _sql_pascal(x: str) -> str:
+    """str.title()-minus-spaces for space-separated names (the only shape
+    in the TPC-H dims / KG vocab)."""
+    return (
+        f"list_aggregate(list_transform(string_split(lower({x}), ' '), "
+        f"w -> upper(w[1])||lower(w[2:])), 'string_agg', '')"
+    )
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    # reuse the web mention scanner over the documents fixture
+    return docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+
+
+def _mention_counts(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    m = scan_mentions(_docs_as_pages(docs), KG_VOCAB)
+    return (
+        m.groupBy(F.col("url").cast("long").alias("doc_id"), F.col("surface").alias("term"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_MENTIONS = f"""
+    select doc_id, tok as term, count(*) as n
+    from (select doc_id, unnest({_TOKS}) as tok from documents)
+    where tok in {tuple(KG_VOCAB)!r}
+    group by doc_id, tok
+"""
+
+# ------------------------------------------------------------ KG queries
+
+
+def q_kg_mentions(spark, sf_dir):
+    """Aho-Corasick vocabulary scan (mapInPandas) == token-join oracle."""
+    return _mention_counts(spark, sf_dir)
+
+
+def q_kg_triples(spark, sf_dir):
+    """Row->triple minting with the reference's IRI kernel (pandas UDF)."""
+    m = _mention_counts(spark, sf_dir)
+    return m.select(
+        udfs.iri(
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")), "delimited"
+        ).alias("subject"),
+        F.lit(":mentions").alias("predicate"),
+        udfs.iri(F.col("term"), "PascalCase").alias("object"),
+    ).distinct()
+
+
+_SQL_KG_TRIPLES = f"""
+    select distinct ':doc_'||doc_id as subject,
+           ':mentions' as predicate,
+           ':'||upper(term[1])||term[2:] as object
+    from ({_SQL_MENTIONS})
+"""
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    """Page-local co-mention edges (self-join keyed on doc — no skew)."""
+    m = _mention_counts(spark, sf_dir).select("doc_id", "term").distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_KG_COOC = f"""
+    with m as (select distinct doc_id, term from ({_SQL_MENTIONS}))
+    select a.term as term_a, b.term as term_b, count(*) as n_docs
+    from m a join m b using (doc_id)
+    where a.term < b.term
+    group by a.term, b.term
+"""
+
+
+def q_kg_entity_degree(spark, sf_dir):
+    """Degree per vocabulary entity in the co-mention graph."""
+    e = q_kg_cooccurrence(spark, sf_dir)
+    both = e.select(F.col("term_a").alias("term"), F.col("term_b").alias("other")).union(
+        e.select(F.col("term_b").alias("term"), F.col("term_a").alias("other"))
+    )
+    return both.groupBy("term").agg(
+        F.count_distinct("other").alias("degree")
+    )
+
+
+_SQL_KG_DEGREE = f"""
+    with e as ({_SQL_KG_COOC}),
+    b as (select term_a as term, term_b as other from e
+          union all select term_b, term_a from e)
+    select term, count(distinct other) as degree from b group by term
+"""
+
+
+def q_kg_subject_blocks(spark, sf_dir):
+    """Turtle-block serialization shape: group triples per subject with a
+    deterministic pair order (the serializer's core aggregation)."""
+    t = q_kg_triples(spark, sf_dir)
+    return t.groupBy("subject").agg(
+        F.count("*").alias("n_pairs"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat("predicate", F.lit(" "), "object"))),
+            " ;\n\t",
+        ).alias("block"),
+    )
+
+
+_SQL_KG_BLOCKS = f"""
+    select subject, count(*) as n_pairs,
+           string_agg(predicate||' '||object, ' ;\n\t'
+                      order by predicate||' '||object) as block
+    from ({_SQL_KG_TRIPLES})
+    group by subject
+"""
+
+
+def q_kg_components(spark, sf_dir):
+    """Connected components over strong co-mention edges (iterative
+    label propagation — not SQL-expressible; rows-only check)."""
+    edges = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= 3)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    )
+    return connected_components(edges)
+
+
+# --------------------------------------------- sheet-spec engine (dims)
+
+
+def q_sheet_nation_triples(spark, sf_dir):
+    """The generic sheet->triples compiler on a real dimension table:
+    type + label + scalar-FK broadcast join (reference pattern J1)."""
+    from mhdb_tables2turtles_spark.plans.sheetspec import (
+        ForeignKey,
+        SheetSpec,
+        sheet_triples,
+    )
+
+    nation = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("row_id"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("string").alias("region_fk"),
+    )
+    region = _read(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("index"),
+        F.col("r_name"),
+        F.lit(0).cast("long").alias("row_id"),
+    )
+    spec = SheetSpec(
+        table="nation",
+        subject_column="n_name",
+        subject_style="PascalCase",
+        rdf_type=":Nation",
+        emitters=(ForeignKey("region_fk", "region", "r_name", ":inRegion"),),
+    )
+    t = sheet_triples({"nation": nation, "region": region}, spec, 0)
+    return t.select("subject", "predicate", "object")
+
+
+_SQL_NATION = f"""
+    with n as (select ':'||{_sql_pascal('n_name')} as subject,
+                      n_name, n_regionkey from nation)
+    select subject, 'a' as predicate, ':Nation' as object from n
+    union all
+    select subject, 'rdfs:label', '\"\"\"'||n_name||'\"\"\"@en' from n
+    union all
+    select n.subject, ':inRegion', ':'||{_sql_pascal('r_name')}
+    from n join region r on n.n_regionkey = r.r_regionkey
+"""
+
+
+# --------------------------------------------------- window / sequence
+
+
+def q_w1_running_counter(spark, sf_dir):
+    """Per-group running counter (reference W1: question numbering) —
+    row_number over (user, ts) with the event id as IRI seed."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("qnum"),
+    ).withColumn(
+        "qtag", F.format_string("u%s_Q%s", F.col("user_id"), F.col("qnum"))
+    )
+
+
+_SQL_W1 = """
+    select event_id, user_id,
+           row_number() over (partition by user_id order by ts, event_id) as qnum,
+           'u'||user_id||'_Q'||row_number() over (partition by user_id order by ts, event_id) as qtag
+    from events
+"""
+
+
+def q_w2_rdf_seq(spark, sf_dir):
+    """rdf:Seq membership triples via posexplode (reference W2)."""
+    docs = _read(spark, sf_dir, "documents")
+    first5 = F.slice(tokens(F.col("text")), 1, 5)
+    return docs.select(
+        F.concat(F.lit(":doc_"), F.col("doc_id")).alias("subject"),
+        F.posexplode(first5).alias("pos", "token"),
+    ).select(
+        "subject",
+        F.format_string("rdf:_%s", F.col("pos") + 1).alias("predicate"),
+        F.col("token").alias("object"),
+    )
+
+
+_SQL_W2 = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents)
+    select ':doc_'||doc_id as subject,
+           'rdf:_'||i as predicate,
+           ts[i] as object
+    from t, unnest(generate_series(1, least(5, len(ts)))) u(i)
+"""
+
+
+def q_j4_priority_resolve(spark, sf_dir):
+    """Multi-table fallback resolution (reference J4): resolve an id
+    against customer then supplier, first hit wins, with source tag."""
+    ids = _read(spark, sf_dir, "events").select("user_id").distinct()
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), F.col("s_name")
+    )
+    out = (
+        ids.join(
+            F.broadcast(cust), ids["user_id"] * 12 == cust["c_custkey"], "left"
+        )
+        .join(
+            F.broadcast(supp), ids["user_id"] - 100 == supp["s_suppkey"], "left"
+        )
+        .select(
+            "user_id",
+            F.coalesce("c_name", "s_name", F.lit("unresolved")).alias(
+                "resolved_name"
+            ),
+            F.when(F.col("c_name").isNotNull(), "customer")
+            .when(F.col("s_name").isNotNull(), "supplier")
+            .otherwise("none")
+            .alias("source"),
+        )
+    )
+    return out
+
+
+_SQL_J4 = """
+    with ids as (select distinct user_id from events)
+    select ids.user_id,
+           coalesce(c.c_name, s.s_name, 'unresolved') as resolved_name,
+           case when c.c_name is not null then 'customer'
+                when s.s_name is not null then 'supplier'
+                else 'none' end as source
+    from ids
+    left join customer c on ids.user_id * 12 = c.c_custkey
+    left join supplier s on ids.user_id - 100 = s.s_suppkey
+"""
+
+
+def q_j5_reln_dispatch(spark, sf_dir):
+    """Relation-type dispatch (reference J5): event_type -> predicate
+    map, with an extra triple emitted for one type."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    pred = (
+        F.when(F.col("event_type") == "click", ":clicked")
+        .when(F.col("event_type") == "view", ":viewed")
+        .when(F.col("event_type") == "error", ":raisedError")
+        .when(F.col("event_type") == "purchase", ":purchased")
+        .otherwise(":did")
+    )
+    base = ev.select(
+        F.concat(F.lit(":u"), F.col("user_id")).alias("subject"),
+        pred.alias("predicate"),
+        F.concat(F.lit(":e"), F.col("event_id")).alias("object"),
+    )
+    extra = ev.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit(":e"), F.col("event_id")).alias("subject"),
+        F.lit(":hasSeverity").alias("predicate"),
+        F.lit('"high"').alias("object"),
+    )
+    return base.unionByName(extra)
+
+
+_SQL_J5 = """
+    select ':u'||user_id as subject,
+           case event_type when 'click' then ':clicked'
+                           when 'view' then ':viewed'
+                           when 'error' then ':raisedError'
+                           when 'purchase' then ':purchased'
+                           else ':did' end as predicate,
+           ':e'||event_id as object
+    from events
+    union all
+    select ':e'||event_id, ':hasSeverity', '"high"'
+    from events where event_type = 'error'
+"""
+
+
+# ------------------------------------------------------- TPC-H breadth
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: multi-aggregate groupBy with exact decimal sums
+    cast back to rounded doubles for engine-portable determinism."""
+    li = _read(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(d("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity::decimal(18,2))::double, 2) as sum_qty,
+           round(sum(l_extendedprice::decimal(18,2))::double, 2) as sum_base_price,
+           round(sum((l_extendedprice * (1 - l_discount))::decimal(18,4))::double, 2) as sum_disc_price,
+           count(*) as count_order
+    from lineitem
+    group by l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Star join with broadcast dims: revenue per nation per region."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+_SQL_NATION_REV = """
+    select n_name as nation, r_name as region,
+           round(sum((l_extendedprice * (1 - l_discount))::decimal(18,4))::double, 2) as revenue
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by n_name, r_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k: 3 highest-value orders per customer."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "rank",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias(
+                "totalprice"
+            ),
+        )
+    )
+
+
+_SQL_TOP_ORDERS = """
+    select o_custkey, rank, o_orderkey,
+           round(o_totalprice::decimal(18,2)::double, 2) as totalprice
+    from (select o_custkey, o_orderkey, o_totalprice,
+                 row_number() over (partition by o_custkey
+                                    order by o_totalprice desc, o_orderkey) as rank
+          from orders)
+    where rank <= 3
+"""
+
+
+# ---------------------------------------------------------- dedup ops
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Content-hash groups (all groups, incl. singletons — a 500-row
+    determinism check of the hash path)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", hash60(norm_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+_SQL_DEDUP_EXACT = f"""
+    select {_sql_hash60(_NORM)} as text_hash,
+           count(*) as dup_count, min(doc_id) as keep_doc_id
+    from documents
+    group by 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_bands(_read(spark, sf_dir, "documents"))
+
+
+_SQL_MINHASH = f"""
+    with toks as (select doc_id, {_TOKS} as ts from documents),
+    sh as (select doc_id,
+                  list_transform(generate_series(1, len(ts)-2),
+                                 i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) as sh
+           from toks),
+    sig as (select doc_id,
+                   list_transform(generate_series(0,15),
+                     s -> list_aggregate(list_transform(sh, x -> md5(s::varchar||':'||x)), 'min')) as sig
+            from sh where len(sh) > 0)
+    select doc_id, b as band_id,
+           md5(list_aggregate(sig[b*4+1:b*4+4], 'string_agg', '|')) as band_hash
+    from sig, unnest(generate_series(0,3)) t(b)
+"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    bands = dedup.minhash_bands(_read(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(bands)
+
+
+_SQL_MINHASH_PAIRS = f"""
+    with bands as ({_SQL_MINHASH})
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from bands a join bands b using (band_id, band_hash)
+    where a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+def _sql_simhash() -> str:
+    h = _sql_hash60("t")
+    votes = " + ".join(
+        f"(case when (list_sum(list_transform(ts, t -> "
+        f"case when ({h} >> {b}) & 1 = 1 then 1 else -1 end))) > 0 "
+        f"then {1 << b} else 0 end)"
+        for b in range(16)
+    )
+    return f"""
+        with toks as (select doc_id, {_TOKS} as ts from documents)
+        select doc_id, ({votes})::bigint as simhash from toks
+    """
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact shingle Jaccard for LSH candidate pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs)
+    pairs = dedup.lsh_candidate_pairs(bands)
+    j = dedup.jaccard_pairs(docs, pairs)
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_JACCARD = f"""
+    with toks as (select doc_id, {_TOKS} as ts from documents),
+    sh as (select doc_id,
+                  list_distinct(list_transform(generate_series(1, len(ts)-2),
+                                i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) as sh
+           from toks),
+    pairs as ({_SQL_MINHASH_PAIRS})
+    select doc_a, doc_b,
+           round(len(list_intersect(a.sh, b.sh))::double /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) as jaccard
+    from pairs join sh a on doc_a = a.doc_id join sh b on doc_b = b.doc_id
+"""
+
+
+# ----------------------------------------------------------- text ops
+
+
+def q_text_token_stats(spark, sf_dir):
+    return text.token_stats(_read(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_STATS = f"""
+    with t as (select doc_id, {_NORM} as nt, {_TOKS} as ts from documents)
+    select doc_id,
+           len(ts) as n_tokens,
+           len(list_distinct(ts)) as n_distinct,
+           length(nt) as n_chars,
+           round(list_sum(list_transform(ts, x -> length(x)))::double / len(ts), 4) as avg_token_len,
+           round(len(list_distinct(ts))::double / len(ts), 4) as distinct_ratio,
+           len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) as n_pieces
+    from t
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(_read(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    s as (select doc_id, len(ts) as n,
+                 len(list_filter(ts, x -> x in ('the','a','and','of','to','in','is'))) as stop_hits,
+                 len(list_distinct(ts))::double / len(ts) as dr
+          from t)
+    select doc_id, n as n_tokens,
+           round(stop_hits::double / n, 4) as stopword_ratio,
+           round(dr, 4) as distinct_ratio,
+           round(0.4 * (case when n between 20 and 100000 then 1.0 else 0.0 end)
+                 + 0.3 * least(dr * 2, 1.0)
+                 + 0.3 * least(stop_hits::double / n * 10, 1.0), 4) as quality
+    from s
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    from mhdb_tables2turtles_spark.ops.text import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"len(list_filter(ts, x -> x in {tuple(LANG_MARKERS[c])!r})) as {c}"
+        for c in codes
+    )
+    best = f"greatest({', '.join(codes)})"
+    pred = "case when " + f"{best} <= 0 then 'und' " + " ".join(
+        f"when {c} = {best} then '{c}'" for c in codes
+    ) + " end"
+    return f"""
+        with t as (select doc_id, {_TOKS} as ts from documents),
+        s as (select doc_id, len(ts) as n, {score_cols} from t)
+        select doc_id, {pred} as pred_lang,
+               round({best}::double / greatest(n, 1), 4) as lang_score
+        from s
+    """
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = f"""
+    with t as (select doc_id, {_NORM} as nt, {_TOKS} as ts from documents),
+    sh as (select doc_id, nt,
+                  list_transform(generate_series(1, len(ts)-4),
+                    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]) as sh
+           from t)
+    select doc_id,
+           {_sql_hash60('nt')} as content_hash,
+           list_aggregate(list_transform(sh, x -> {_sql_hash60('x')}), 'min') as winnow_hash
+    from sh
+"""
+
+
+# ----------------------------------------------------- similarity ops
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_SQL_TOPK = """
+    with q as (select vec_id as query_id, embedding::double[] as qe
+               from embeddings where vec_id < 8),
+    s as (select query_id, vec_id as neighbor_id,
+                 round(list_dot_product(qe, embedding::double[]) /
+                       (sqrt(list_dot_product(qe, qe)) *
+                        sqrt(list_dot_product(embedding::double[], embedding::double[]))), 6) as cos
+          from q, embeddings where vec_id != query_id)
+    select query_id, rank, neighbor_id, cos from (
+      select query_id, neighbor_id, cos,
+             row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+      from s)
+    where rank <= 5
+"""
+
+
+def q_embed_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_buckets(
+        _read(spark, sf_dir, "embeddings"), n_planes=8, dim=64, n_tables=2
+    )
+
+
+def _sql_lsh_buckets(n_planes: int = 8, n_tables: int = 2) -> str:
+    def proj(p: int) -> str:
+        key = f"'{p},'||d::varchar"  # must equal plane_matrix's f"{p},{d}"
+        w = f"((({_sql_hash60(key)}) % 2001) - 1000) / 1000.0"
+        return (
+            f"list_sum(list_transform(generate_series(0,63), "
+            f"d -> embedding[d+1]::double * ({w})))"
+        )
+
+    tables = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(case when ({proj(t * n_planes + p)}) > 0 then {1 << p} else 0 end)"
+            for p in range(n_planes)
+        )
+        tables.append(
+            f"select vec_id, {t} as table_id, ({bits})::bigint as bucket from embeddings"
+        )
+    return " union all ".join(tables)
+
+
+def q_embed_ann(spark, sf_dir):
+    """Multi-table LSH ANN top-k (bucket-join candidates + exact rerank).
+    Oracle omitted: the bucket assignment is oracle-checked by
+    embed_lsh_buckets; this adds the candidate-join + rerank on top."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4, n_tables=8
+    )
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (tau tuned to the
+    synthetic corpus's cosine range)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, tau=0.35, n_planes=4, n_tables=4
+    )
+
+
+# ----------------------------------------------------- multimodal ops
+
+
+def q_multimodal_sniff(spark, sf_dir):
+    media = multimodal.media_from_documents(_read(spark, sf_dir, "documents"))
+    return multimodal.sniff_metadata(media)
+
+
+_SQL_SNIFF = """
+    select doc_id as media_id,
+           case doc_id % 4 when 0 then 'image/png'
+                           when 1 then 'image/jpeg'
+                           when 2 then 'audio/wav'
+                           else 'video/webm' end as kind,
+           octet_length(encode(text)) + (case doc_id % 4 when 1 then 3 else 4 end) as n_bytes,
+           true as payload_ok
+    from documents
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (mapInPandas 1->N; rows-only check)."""
+    media = multimodal.media_from_documents(_read(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+# --------------------------------------------------------- the catalog
+
+QUERIES = {
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_entity_degree": q_kg_entity_degree,
+    "kg_subject_blocks": q_kg_subject_blocks,
+    "kg_components": q_kg_components,
+    "sheet_nation_triples": q_sheet_nation_triples,
+    "w1_running_counter": q_w1_running_counter,
+    "w2_rdf_seq": q_w2_rdf_seq,
+    "j4_priority_resolve": q_j4_priority_resolve,
+    "j5_reln_dispatch": q_j5_reln_dispatch,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "embed_topk": q_embed_topk,
+    "embed_lsh_buckets": q_embed_lsh_buckets,
+    "embed_ann": q_embed_ann,
+    "embed_near_dup": q_embed_near_dup,
+    "multimodal_sniff": q_multimodal_sniff,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "kg_mentions": _SQL_MENTIONS,
+        "kg_triples": _SQL_KG_TRIPLES,
+        "kg_cooccurrence": _SQL_KG_COOC,
+        "kg_entity_degree": _SQL_KG_DEGREE,
+        "kg_subject_blocks": _SQL_KG_BLOCKS,
+        # kg_components: iterative — rows-only
+        "sheet_nation_triples": _SQL_NATION,
+        "w1_running_counter": _SQL_W1,
+        "w2_rdf_seq": _SQL_W2,
+        "j4_priority_resolve": _SQL_J4,
+        "j5_reln_dispatch": _SQL_J5,
+        "pricing_summary": _SQL_Q1,
+        "nation_revenue": _SQL_NATION_REV,
+        "top_orders_per_customer": _SQL_TOP_ORDERS,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash": _SQL_MINHASH,
+        "dedup_minhash_pairs": _SQL_MINHASH_PAIRS,
+        "dedup_simhash": _sql_simhash(),
+        "jaccard_pairs": _SQL_JACCARD,
+        "text_token_stats": _SQL_TOKEN_STATS,
+        "text_quality": _SQL_QUALITY,
+        "text_lang_id": _sql_lang_id(),
+        "text_fingerprint": _SQL_FINGERPRINT,
+        "embed_topk": _SQL_TOPK,
+        "embed_lsh_buckets": _sql_lsh_buckets(),
+        # embed_ann, embed_near_dup: LSH bucketing oracle-checked above;
+        # candidate-join variants rows-only
+        "multimodal_sniff": _SQL_SNIFF,
+        # multimodal_frames: mapInPandas 1->N — rows-only
+    }

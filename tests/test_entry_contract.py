@@ -1,0 +1,76 @@
+"""Mirror of the driver's correctness gate, run at sf0.001: every
+queries() entry executes, and every oracle_sql() entry matches the Spark
+result (row count + column names + order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+ALL = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_runs_and_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    assert rows is not None
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        return  # rows-only contract
+    res = ddb.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(cols) == sorted(ocols), f"{name}: column names differ"
+    assert len(rows) == len(orows), f"{name}: row count {len(rows)} != {len(orows)}"
+    a = _canon(rows, cols)
+    b = _canon(orows, ocols)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: value mismatch at {mismatches}: " + "; ".join(
+        f"{a[i]} != {b[i]}" for i in mismatches
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["subject", "predicate", "object"]

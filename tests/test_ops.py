@@ -1,0 +1,194 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal.
+
+Where an op is oracle-checked by the driver (queries()/oracle_sql()),
+these tests cross-check the same math against DuckDB at sf0.001 so
+mismatches surface here first.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops import dedup, multimodal, similarity, text
+from mhdb_tables2turtles_spark.ops.common import hash60, py_hash60
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF_DIR}/documents.parquet'"
+    )
+    con.execute(
+        f"create view embeddings as select * from '{SF_DIR}/embeddings.parquet'"
+    )
+    return con
+
+
+def test_hash60_portable(spark, ddb):
+    got = spark.range(1).select(hash60(F.lit("abc")).alias("h")).first().h
+    want = ddb.execute("select ('0x'||substr(md5('abc'),1,15))::bigint").fetchone()[0]
+    assert got == want == py_hash60("abc")
+
+
+def test_exact_duplicates_none_in_fixture(spark, docs):
+    # fixture texts are unique; op returns empty, not an error
+    assert dedup.exact_duplicates(docs).count() == 0
+    # and detects injected dups
+    dup = docs.limit(3).union(docs.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000))
+    groups = dedup.exact_duplicates(dup)
+    assert groups.count() == 3
+    assert groups.agg(F.max("dup_count")).first()[0] == 2
+
+
+def test_minhash_matches_duckdb(spark, docs, ddb):
+    got = {
+        (r.doc_id, r.band_id): r.band_hash
+        for r in dedup.minhash_bands(docs.limit(50)).collect()
+    }
+    want = ddb.execute("""
+        with toks as (
+          select doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') ts
+          from documents where doc_id < 50
+        ), sh as (
+          select doc_id,
+                 list_transform(generate_series(1, len(ts)-2),
+                                i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) sh
+          from toks
+        ), sig as (
+          select doc_id,
+                 list_transform(generate_series(0,15),
+                   s -> list_aggregate(list_transform(sh, x -> md5(s::varchar||':'||x)), 'min')) sig
+          from sh where len(sh) > 0
+        )
+        select doc_id, b as band_id,
+               md5(list_aggregate(sig[b*4+1:b*4+4], 'string_agg', '|')) band_hash
+        from sig, unnest(generate_series(0,3)) t(b)
+    """).fetchall()
+    want = {(d, b): h for d, b, h in want}
+    assert got == want
+
+
+def test_lsh_pairs_and_jaccard(spark, docs):
+    # inject two near-identical docs to give LSH something to find
+    a = docs.limit(1).select("doc_id", "text")
+    near = a.select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").union(near)
+    bands = dedup.minhash_bands(corpus)
+    pairs = dedup.lsh_candidate_pairs(bands)
+    jac = dedup.jaccard_pairs(corpus, pairs, threshold=0.5)
+    rows = jac.collect()
+    assert any(r.doc_b - r.doc_a == 9000 and r.jaccard > 0.9 for r in rows)
+
+
+def test_simhash_row_local_and_grouped(spark, docs):
+    sh = dedup.simhash(docs.limit(20))
+    vals = [r.simhash for r in sh.collect()]
+    assert all(0 <= v < 2**16 for v in vals)
+    dup = docs.limit(2).union(
+        docs.limit(2).withColumn("doc_id", F.col("doc_id") + 500)
+    )
+    assert dedup.simhash_duplicates(dup).count() == 2
+
+
+def test_token_stats_and_quality(spark, docs, ddb):
+    stats = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    want = ddb.execute(
+        "select doc_id, len(string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),' ')) "
+        "from documents"
+    ).fetchall()
+    for doc_id, n in want:
+        assert stats[doc_id].n_tokens == n
+    q = text.quality_score(docs)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+
+
+def test_lang_id_deterministic(spark, docs):
+    out = text.lang_id(docs)
+    assert out.filter(F.col("pred_lang").isNull()).count() == 0
+    langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_shift_robust(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "PREFIX alpha beta gamma delta epsilon zeta eta SUFFIX"),
+            (3, "  Alpha  beta gamma delta epsilon zeta   eta ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r.doc_id: r for r in text.fingerprint(df).collect()}
+    assert fp[1].content_hash != fp[2].content_hash
+    # doc2's shingles are a superset of doc1's: its min can only drop
+    assert fp[2].winnow_hash <= fp[1].winnow_hash
+    # normalization robustness: case/whitespace noise doesn't change either
+    assert fp[3].content_hash == fp[1].content_hash
+    assert fp[3].winnow_hash == fp[1].winnow_hash
+
+
+def test_topk_bruteforce_vs_duckdb(spark, embeddings, ddb):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in similarity.topk_bruteforce(embeddings, queries, k=5).collect()
+    }
+    want = ddb.execute("""
+        with q as (select vec_id qid, embedding qe from embeddings where vec_id < 3),
+        s as (
+          select qid, vec_id nid,
+                 round(list_dot_product(qe::double[], embedding::double[]) /
+                       (sqrt(list_dot_product(qe::double[], qe::double[])) *
+                        sqrt(list_dot_product(embedding::double[], embedding::double[]))), 6) cos
+          from q, embeddings where vec_id != qid
+        )
+        select qid, rank, nid, cos from (
+          select qid, nid, cos,
+                 row_number() over (partition by qid order by cos desc, nid) rank
+          from s) where rank <= 5
+    """).fetchall()
+    want = {(q, r): (n, c) for q, r, n, c in want}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-9
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(embeddings, queries, k=3)
+    ann = similarity.topk_lsh(embeddings, queries, k=3, n_planes=4, n_tables=8)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    an = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.5  # 8 tables x 4 planes over 500 near-random vecs
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.media_from_documents(docs.limit(40))
+    meta = multimodal.sniff_metadata(media)
+    kinds = {r.kind for r in meta.select("kind").distinct().collect()}
+    assert kinds == {"image/png", "image/jpeg", "audio/wav", "video/webm"}
+    assert meta.filter(~F.col("payload_ok")).count() == 0
+    feats = multimodal.extract_features(media)
+    row = feats.first()
+    assert len(row.features) == 8
+    frames = multimodal.sample_frames(media.limit(5))
+    assert frames.count() >= 5
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....")
