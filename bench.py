@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also times the end-to-end web KG pipeline (synthesized corpus, fresh
+workdir, corpus materialization untimed) and reports pages/sec — the
+north-rule throughput metric.  Scaling evidence across parallelism
+levels lives in scripts/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mhdb-tables2turtles-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        # fixture/stage outputs are ~100-500MB: the 128m default packs
+        # them into 1-2 scan tasks and serializes every map side; at
+        # 100TB the default is right, at bench scale it must be smaller
+        # so scans parallelize across the cores we're measuring
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
+
+
+# catalog queries timed per-run (forced with .count()); one
+# representative per operator family — the full catalog is exercised by
+# the correctness gate, not the bench
+BENCH_QUERIES = (
+    "kg_mentions",
+    "kg_triples",
+    "kg_cooccurrence",
+    "w1_running_counter",
+    "w2_rdf_seq",
+    "j5_reln_dispatch",
+    "pricing_summary",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "dedup_minhash",
+    "dedup_simhash",
+    "jaccard_pairs",
+    "text_token_stats",
+    "text_fingerprint",
+    "embed_topk",
+    "embed_ann",
+    "multimodal_sniff",
+)
+
+
+def time_pipeline(spark, n_pages: int, partitions: int) -> dict:
+    """End-to-end KG pipeline over a pre-materialized synthetic corpus;
+    returns elapsed seconds + pages/sec (corpus generation untimed)."""
+    from mhdb_tables2turtles_spark.web.pipeline import KGPipeline, build_corpus
+
+    tmp = tempfile.mkdtemp(prefix="bench_kg_")
+    corpus_path = os.path.join(tmp, "corpus")
+    build_corpus(spark, n_pages, seed=42, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
+    out = KGPipeline(spark, os.path.join(tmp, "work")).run(pages)
+    n_triples = out["canonical"].count()
+    elapsed = time.time() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "pipeline_sec": round(elapsed, 2),
+        "pages_per_sec": round(n_pages / elapsed, 1),
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mhdb_tables2turtles_spark.queries import QUERIES
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    pipe = time_pipeline(spark, n_pages, partitions=cpus * 2)
+    total += pipe["pipeline_sec"]
+    per_query["web_kg_pipeline"] = pipe["pipeline_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "pages_per_sec": pipe["pages_per_sec"],
+                "pipeline_pages": pipe["n_pages"],
+                "pipeline_triples": pipe["n_triples"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -58,6 +58,29 @@ def iri(col: Column, style: str = "delimited") -> Column:
     return _iri_udf(style)(col)
 
 
+_IRI_STYLED = None
+
+
+def iri_styled(col: Column, style_col: Column) -> Column:
+    """``format_iri`` with a per-row style column (used by the assertion
+    resolver, where the label style depends on which table resolved the
+    node — /root/reference/mhdb/ingest.py:2534-2596)."""
+    global _IRI_STYLED
+    if _IRI_STYLED is None:
+
+        @pandas_udf("string")
+        def _f(s: pd.Series, st: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None if v is None else format_iri(v, sty or "delimited")
+                    for v, sty in zip(s, st)
+                ]
+            )
+
+        _IRI_STYLED = _f
+    return _IRI_STYLED(col, style_col)
+
+
 def label(col: Column, style: str = "delimited") -> Column:
     """``to_label`` over a column (vectorized)."""
     return _label_udf(style)(col)

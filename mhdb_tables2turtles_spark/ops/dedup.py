@@ -49,18 +49,48 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_signature(sh: F.Column, n_hashes: int) -> F.Column:
-    """array of n_hashes min-hashes; min over md5('<seed>:'+shingle).
+MINHASH_P = 2_147_483_647  # 2^31 - 1; keeps a*(h%P)+b inside 63 bits
 
-    Lexicographic min over hex strings == min over the underlying 128-bit
-    ints — stable, portable, and computed without leaving the row.
+
+def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations
+    h_s = (a_s * (h % P) + b_s) % P — md5-derived, so the SQL oracle can
+    embed identical literals."""
+    from mhdb_tables2turtles_spark.ops.common import py_hash60
+
+    return [
+        (
+            py_hash60(f"minhash_a:{s}") % (MINHASH_P - 1) + 1,
+            py_hash60(f"minhash_b:{s}") % MINHASH_P,
+        )
+        for s in range(n_hashes)
+    ]
+
+
+def _minhash_signature(sh: F.Column, n_hashes: int) -> F.Column:
+    """array of n_hashes min-hashes.
+
+    One md5 per shingle (``hash60``), then n permuted copies via
+    arithmetic universal hashing — a single aggregate pass with a struct
+    accumulator, so the expensive hash is computed exactly once per
+    shingle regardless of n_hashes (Catalyst does not CSE across
+    higher-order-function branches).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x))
-            )
+    consts = minhash_perm_constants(n_hashes)
+    hashes = F.transform(sh, lambda x: hash60(x) % MINHASH_P)
+    zero = F.struct(
+        *[F.lit(MINHASH_P).cast("long").alias(f"m{s}") for s in range(n_hashes)]
+    )
+    return F.aggregate(
+        hashes,
+        zero,
+        lambda a, h: F.struct(
+            *[
+                F.least(
+                    a[f"m{s}"], (F.lit(consts[s][0]) * h + F.lit(consts[s][1])) % MINHASH_P
+                ).alias(f"m{s}")
+                for s in range(n_hashes)
+            ]
         ),
     )
 
@@ -76,10 +106,24 @@ def minhash_bands(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     toks = tokens(F.col("text"))
-    sig = _minhash_signature(shingles(toks, k), n_hashes)
+    sh = shingles(toks, k)
+    # step 1: one projection computes the signature struct (the aggregate
+    # runs once per row); step 2 only reads cheap struct fields — keeping
+    # these as separate selects stops CollapseProject from duplicating the
+    # expensive aggregate into every field reference
+    sig_struct = docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        _minhash_signature(sh, n_hashes).alias("__sig"),
+    )
     return (
-        docs.select("doc_id", sig.alias("sig"))
-        .filter(F.size("sig") > 0)
+        sig_struct.filter(F.col("n_shingles") > 0)
+        .select(
+            "doc_id",
+            F.array(
+                *[F.col("__sig").getField(f"m{s}") for s in range(n_hashes)]
+            ).alias("sig"),
+        )
         .select(
             "doc_id",
             F.explode(
@@ -88,7 +132,13 @@ def minhash_bands(
                     lambda b: F.struct(
                         b.alias("band_id"),
                         F.md5(
-                            F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r))
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * r + 1, r),
+                                    lambda v: v.cast("string"),
+                                ),
+                                "|",
+                            )
                         ).alias("band_hash"),
                     ),
                 )
@@ -143,24 +193,40 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     computed entirely row-locally (aggregate over the token array)."""
     toks = tokens(F.col("text"))
     hashes = F.transform(toks, lambda t: hash60(t))
-    # unrolled over bit positions (shift amounts must be Python ints);
-    # still a single row-local projection — no shuffle, no UDF.
-    # NB: capture b via an outer function, never `lambda acc, h, b=b` —
-    # pyspark binds a 3-param lambda's third arg to a generated Column.
-    def vote(b: int) -> F.Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
-
+    # single aggregate pass with a struct-of-counters accumulator: the
+    # md5 is computed once per token (the lambda variable binds the
+    # evaluated element; referencing it `bits` times is free), then all
+    # bit votes update in one sweep.
+    # NB: capture b via list comprehension scope, never
+    # `lambda acc, h, b=b` — pyspark binds a 3-param lambda's third arg
+    # to a generated Column.
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"c{b}") for b in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda a, h: F.struct(
+            *[
+                (
+                    a[f"c{b}"]
+                    + F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"c{b}")
+                for b in range(bits)
+            ]
+        ),
+    )
+    # two projections: the aggregate evaluates once; the bit-packing step
+    # reads cheap struct fields (see minhash_bands for why)
+    with_votes = docs.select("doc_id", votes.alias("__v"))
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(vote(b) > 0, F.lit(1 << b)).otherwise(0)
-    return docs.select("doc_id", sim.alias("simhash"))
+        sim = sim + F.when(
+            F.col("__v").getField(f"c{b}") > 0, F.lit(1 << b)
+        ).otherwise(0)
+    return with_votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_duplicates(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -55,13 +55,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread across cores.  The fixture tables are single small
+    parquet files (one scan partition); the doc/embedding operators are
+    compute-heavy row-local expressions, so without a repartition they
+    run serially.  At real scale the source table has thousands of file
+    splits and this shuffle is unnecessary — it exists for the
+    single-file fixture shape only (cost: one tiny shuffle)."""
+    return _read(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs_as_pages(docs: DataFrame) -> DataFrame:
     # reuse the web mention scanner over the documents fixture
     return docs.select(F.col("doc_id").cast("string").alias("url"), "text")
 
 
 def _mention_counts(spark, sf_dir) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     m = scan_mentions(_docs_as_pages(docs), KG_VOCAB)
     return (
         m.groupBy(F.col("url").cast("long").alias("doc_id"), F.col("surface").alias("term"))
@@ -251,7 +263,7 @@ _SQL_W1 = """
 
 def q_w2_rdf_seq(spark, sf_dir):
     """rdf:Seq membership triples via posexplode (reference W2)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     first5 = F.slice(tokens(F.col("text")), 1, 5)
     return docs.select(
         F.concat(F.lit(":doc_"), F.col("doc_id")).alias("subject"),
@@ -463,7 +475,7 @@ _SQL_TOP_ORDERS = """
 def q_dedup_exact(spark, sf_dir):
     """Content-hash groups (all groups, incl. singletons — a 500-row
     determinism check of the hash path)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", hash60(norm_text(F.col("text"))).alias("text_hash"))
         .groupBy("text_hash")
@@ -480,27 +492,43 @@ _SQL_DEDUP_EXACT = f"""
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return dedup.minhash_bands(_read(spark, sf_dir, "documents"))
+    return dedup.minhash_bands(_read_spread(spark, sf_dir, "documents"))
 
 
-_SQL_MINHASH = f"""
+def _sql_minhash() -> str:
+    """Mirror of ops.dedup.minhash_bands: one hash60 per shingle, 16
+    universal-hash permutations with the same md5-derived constants."""
+    P = dedup.MINHASH_P
+    consts = dedup.minhash_perm_constants(16)
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a}::bigint * h + {b}) % {P}), 'min')"
+        for a, b in consts
+    )
+    return f"""
     with toks as (select doc_id, {_TOKS} as ts from documents),
     sh as (select doc_id,
                   list_transform(generate_series(1, len(ts)-2),
                                  i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) as sh
            from toks),
-    sig as (select doc_id,
-                   list_transform(generate_series(0,15),
-                     s -> list_aggregate(list_transform(sh, x -> md5(s::varchar||':'||x)), 'min')) as sig
-            from sh where len(sh) > 0)
+    hs as (select doc_id, list_transform(sh, x -> {_sql_hash60('x')} % {P}) as hs
+           from sh where len(sh) > 0),
+    sig as (select doc_id, [{mins}] as sig from hs)
     select doc_id, b as band_id,
-           md5(list_aggregate(sig[b*4+1:b*4+4], 'string_agg', '|')) as band_hash
+           md5(sig[b*4+1]::varchar||'|'||sig[b*4+2]::varchar||'|'||
+               sig[b*4+3]::varchar||'|'||sig[b*4+4]::varchar) as band_hash
     from sig, unnest(generate_series(0,3)) t(b)
 """
 
 
+_SQL_MINHASH = _sql_minhash()
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
-    bands = dedup.minhash_bands(_read(spark, sf_dir, "documents"))
+    # materialize signatures once: the bucket self-join references the
+    # bands plan twice, and Spark re-executes unreferenced subplans
+    bands = dedup.minhash_bands(
+        _read_spread(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     return dedup.lsh_candidate_pairs(bands)
 
 
@@ -513,7 +541,7 @@ _SQL_MINHASH_PAIRS = f"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash(_read(spark, sf_dir, "documents"))
+    return dedup.simhash(_read_spread(spark, sf_dir, "documents"))
 
 
 def _sql_simhash() -> str:
@@ -532,9 +560,11 @@ def _sql_simhash() -> str:
 
 def q_jaccard_pairs(spark, sf_dir):
     """Exact shingle Jaccard for LSH candidate pairs."""
-    docs = _read(spark, sf_dir, "documents")
-    bands = dedup.minhash_bands(docs)
-    pairs = dedup.lsh_candidate_pairs(bands)
+    docs = _read_spread(spark, sf_dir, "documents")
+    # one evaluation of the signature plan (referenced 2x by the bucket
+    # self-join) and one of the candidate pairs (referenced by 2 joins)
+    bands = dedup.minhash_bands(docs).localCheckpoint(eager=False)
+    pairs = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=False)
     j = dedup.jaccard_pairs(docs, pairs)
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -557,7 +587,7 @@ _SQL_JACCARD = f"""
 
 
 def q_text_token_stats(spark, sf_dir):
-    return text.token_stats(_read(spark, sf_dir, "documents"))
+    return text.token_stats(_read_spread(spark, sf_dir, "documents"))
 
 
 _SQL_TOKEN_STATS = f"""
@@ -574,7 +604,7 @@ _SQL_TOKEN_STATS = f"""
 
 
 def q_text_quality(spark, sf_dir):
-    return text.quality_score(_read(spark, sf_dir, "documents"))
+    return text.quality_score(_read_spread(spark, sf_dir, "documents"))
 
 
 _SQL_QUALITY = f"""
@@ -594,7 +624,7 @@ _SQL_QUALITY = f"""
 
 
 def q_text_lang_id(spark, sf_dir):
-    return text.lang_id(_read(spark, sf_dir, "documents"))
+    return text.lang_id(_read_spread(spark, sf_dir, "documents"))
 
 
 def _sql_lang_id() -> str:
@@ -619,7 +649,7 @@ def _sql_lang_id() -> str:
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return text.fingerprint(_read(spark, sf_dir, "documents"))
+    return text.fingerprint(_read_spread(spark, sf_dir, "documents"))
 
 
 _SQL_FINGERPRINT = f"""
@@ -639,7 +669,7 @@ _SQL_FINGERPRINT = f"""
 
 
 def q_embed_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     return similarity.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -661,7 +691,7 @@ _SQL_TOPK = """
 
 def q_embed_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(
-        _read(spark, sf_dir, "embeddings"), n_planes=8, dim=64, n_tables=2
+        _read_spread(spark, sf_dir, "embeddings"), n_planes=8, dim=64, n_tables=2
     )
 
 
@@ -690,7 +720,7 @@ def q_embed_ann(spark, sf_dir):
     """Multi-table LSH ANN top-k (bucket-join candidates + exact rerank).
     Oracle omitted: the bucket assignment is oracle-checked by
     embed_lsh_buckets; this adds the candidate-join + rerank on top."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     return similarity.topk_lsh(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4, n_tables=8
     )
@@ -699,7 +729,7 @@ def q_embed_ann(spark, sf_dir):
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets (tau tuned to the
     synthetic corpus's cosine range)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
         emb, tau=0.35, n_planes=4, n_tables=4
     )
@@ -709,7 +739,7 @@ def q_embed_near_dup(spark, sf_dir):
 
 
 def q_multimodal_sniff(spark, sf_dir):
-    media = multimodal.media_from_documents(_read(spark, sf_dir, "documents"))
+    media = multimodal.media_from_documents(_read_spread(spark, sf_dir, "documents"))
     return multimodal.sniff_metadata(media)
 
 
@@ -727,7 +757,7 @@ _SQL_SNIFF = """
 
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (mapInPandas 1->N; rows-only check)."""
-    media = multimodal.media_from_documents(_read(spark, sf_dir, "documents"))
+    media = multimodal.media_from_documents(_read_spread(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)
 
 

@@ -82,6 +82,20 @@ def link_mentions(
         .filter(F.col("n") > 1)
         .select("surface")
     )
+    # the dictionary is driver-sized: decide at plan-build time whether
+    # any surface is ambiguous.  With none (the common case for a
+    # label-minted ontology) the whole TF-IDF subtree — corpus-wide idf,
+    # token explode, score join — is omitted from the plan entirely
+    # instead of executing against zero ambiguous rows.
+    if amb_surfaces.isEmpty():
+        return cands.select(
+            "url",
+            "surface",
+            "entity_iri",
+            F.lit(1.0).alias("score"),
+            F.lit(False).alias("is_ambiguous"),
+        )
+
     amb = cands.join(F.broadcast(amb_surfaces), "surface")
     unamb = cands.join(F.broadcast(amb_surfaces), "surface", "left_anti")
 

@@ -61,18 +61,22 @@ class StagedPipeline:
     ) -> DataFrame:
         """Return the stage's committed output, computing it only if no
         committed snapshot exists."""
+        import time as _time
+
         path = self._path(name)
         if self.is_committed(name):
             self.log.append(f"resume:{name}")
             return self.spark.read.parquet(path).drop(LINEAGE_COL)
 
         self.log.append(f"compute:{name}")
+        t0 = _time.time()
         df = build().withColumn(LINEAGE_COL, F.spark_partition_id())
         if partitions:
             df = df.repartition(partitions)
         obs = Observation(f"stage_{name}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.write.mode("overwrite").parquet(path)
+        elapsed = round(_time.time() - t0, 2)
 
         # per-partition lineage: row counts per source partition, read
         # back from the committed files (parquet stats; single small scan
@@ -87,10 +91,12 @@ class StagedPipeline:
         manifest = {
             "stage": name,
             "rows": obs.get["rows"],
+            "elapsed_sec": elapsed,
             "upstream": list(upstream),
             "partitions": lineage,
             "n_partitions": len(lineage),
         }
+        self.log.append(f"done:{name}:{elapsed}s")
         tmp = os.path.join(path, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)

@@ -66,11 +66,20 @@ def page_entity_triples(linked: DataFrame) -> DataFrame:
     Emits, per page: ``<pageIRI> a :WebPage``, ``:hasURL`` typed literal,
     and one ``:mentions`` triple per distinct linked entity — the
     web-scale analogue of the reference's per-row type + FK triples.
+
+    The page-IRI broadcast join assumes one processing batch's url set
+    fits in a broadcast (fine per input split/partition run); at full
+    10^12-page scale swap for a shuffle join on ``url`` — both sides are
+    already hash-partitioned by url, so it is co-located.
     """
-    subj = udfs.iri(F.col("url"))
-    per_page = linked.select("url").distinct().select(
-        subj.alias("subject"),
-        F.col("url"),
+    # mint each page IRI exactly once: the pandas-UDF kernel runs over
+    # the distinct url set (pages), and the per-pair fan-out happens as a
+    # JVM-side broadcast join — never per mention row
+    pairs = linked.select("url", "entity_iri").distinct()
+    per_page = (
+        pairs.select("url")
+        .distinct()
+        .select(F.col("url"), udfs.iri(F.col("url")).alias("subject"))
     )
     decl = per_page.select(
         "subject", F.lit("a").alias("predicate"), F.lit(":WebPage").alias("object")
@@ -80,10 +89,10 @@ def page_entity_triples(linked: DataFrame) -> DataFrame:
         F.lit(":hasURL").alias("predicate"),
         F.format_string('"%s"^^xsd:anyURI', F.col("url")).alias("object"),
     )
-    ments = (
-        linked.select(subj.alias("subject"), F.col("entity_iri").alias("object"))
-        .distinct()
-        .select("subject", F.lit(":mentions").alias("predicate"), "object")
+    ments = pairs.join(F.broadcast(per_page), "url").select(
+        "subject",
+        F.lit(":mentions").alias("predicate"),
+        F.col("entity_iri").alias("object"),
     )
     return decl.unionByName(urls).unionByName(ments)
 

