@@ -717,13 +717,38 @@ def _sql_lsh_buckets(n_planes: int = 8, n_tables: int = 2) -> str:
 
 
 def q_embed_ann(spark, sf_dir):
-    """Multi-table LSH ANN top-k (bucket-join candidates + exact rerank).
-    Oracle omitted: the bucket assignment is oracle-checked by
-    embed_lsh_buckets; this adds the candidate-join + rerank on top."""
+    """Multi-table LSH ANN top-k (bucket-join candidates + exact rerank)."""
     emb = _read_spread(spark, sf_dir, "embeddings")
     return similarity.topk_lsh(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4, n_tables=8
     )
+
+
+def _sql_ann(k: int = 5, n_planes: int = 4, n_tables: int = 8) -> str:
+    """Mirror of similarity.topk_lsh: same md5-derived plane matrix,
+    bucket candidate join, exact cosine rerank with identical rounding
+    and tie order."""
+    buckets = _sql_lsh_buckets(n_planes=n_planes, n_tables=n_tables)
+    return f"""
+    with buckets as ({buckets}),
+    qb as (select vec_id as query_id, table_id, bucket
+           from buckets where vec_id < 8),
+    cand as (select distinct qb.query_id, b.vec_id as neighbor_id
+             from qb join buckets b using (table_id, bucket)
+             where b.vec_id != qb.query_id),
+    s as (select c.query_id, c.neighbor_id,
+                 round(list_dot_product(eq.embedding::double[], en.embedding::double[]) /
+                       (sqrt(list_dot_product(eq.embedding::double[], eq.embedding::double[])) *
+                        sqrt(list_dot_product(en.embedding::double[], en.embedding::double[]))), 6) as cos
+          from cand c
+          join embeddings eq on c.query_id = eq.vec_id
+          join embeddings en on c.neighbor_id = en.vec_id)
+    select query_id, rank, neighbor_id, cos from (
+      select query_id, neighbor_id, cos,
+             row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+      from s)
+    where rank <= {k}
+"""
 
 
 def q_embed_near_dup(spark, sf_dir):
@@ -823,8 +848,8 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": _SQL_FINGERPRINT,
         "embed_topk": _SQL_TOPK,
         "embed_lsh_buckets": _sql_lsh_buckets(),
-        # embed_ann, embed_near_dup: LSH bucketing oracle-checked above;
-        # candidate-join variants rows-only
+        "embed_ann": _sql_ann(),
+        # embed_near_dup: same machinery as embed_ann; rows-only
         "multimodal_sniff": _SQL_SNIFF,
         # multimodal_frames: mapInPandas 1->N — rows-only
     }

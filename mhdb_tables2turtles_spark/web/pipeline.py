@@ -142,12 +142,23 @@ class KGPipeline:
             import os
 
             from mhdb_tables2turtles_spark.operators.serialize import (
+                render_header,
                 write_body_shards,
             )
 
             ttl_dir = os.path.join(self.staged.workdir, "ttl")
             if not os.path.exists(os.path.join(ttl_dir, "_SUCCESS")):
                 write_body_shards(canonical, ttl_dir)
+                # header file sorts before part-* shards when concatenated
+                with open(os.path.join(ttl_dir, "header.ttl"), "w") as f:
+                    f.write(
+                        render_header(
+                            "http://www.purl.org/mentalhealth/webkg",
+                            "0.1.0",
+                            "webkg",
+                            "web-scale KG constructed from crawled pages",
+                        )
+                    )
 
         return {
             "extract": extracted,

@@ -134,6 +134,42 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     assert sum(man["partitions"].values()) == man["rows"]
 
 
+def test_kill_mid_pipeline_resumes_from_last_commit(spark, corpus, tmp_path):
+    """SURVEY §5.3-5: die after stage-2 commit, restart, identical final
+    result with no recomputation of committed stages."""
+    wd = str(tmp_path / "kgkill")
+    # simulate a job killed after the first two stage commits
+    from pyspark.sql import functions as F
+
+    from mhdb_tables2turtles_spark.web.extract import extract_text_col
+    from mhdb_tables2turtles_spark.web.mentions import scan_mentions
+
+    dead = KGPipeline(spark, wd)
+    extracted = dead.staged.stage(
+        "extract",
+        lambda: corpus.select(
+            "url", "warc_ts", "lang", extract_text_col(F.col("html")).alias("text")
+        ),
+    )
+    dead.staged.stage(
+        "mentions", lambda: scan_mentions(extracted, dead.surfaces)
+    )
+    # process "dies" here; a fresh run picks up after the last commit
+    pipe = KGPipeline(spark, wd)
+    out = pipe.run(corpus)
+    assert pipe.staged.log[:2] == ["resume:extract", "resume:mentions"]
+    assert [s for s in pipe.staged.log if s.startswith("compute:")] == [
+        "compute:linked",
+        "compute:triples",
+        "compute:canonical",
+    ]
+    # identical to a from-scratch run
+    fresh = KGPipeline(spark, str(tmp_path / "kgfresh")).run(corpus)
+    a = {(r.subject, r.predicate, r.object) for r in out["canonical"].collect()}
+    b = {(r.subject, r.predicate, r.object) for r in fresh["canonical"].collect()}
+    assert a == b
+
+
 def test_canonicalization_merges_sameas(spark, corpus, tmp_path):
     pipe = KGPipeline(spark, str(tmp_path / "kg2"))
     # inject synthetic duplicates: two ontology IRIs declared equivalent
