@@ -182,13 +182,30 @@ _SQL_KG_BLOCKS = f"""
 
 def q_kg_components(spark, sf_dir):
     """Connected components over strong co-mention edges (iterative
-    label propagation — not SQL-expressible; rows-only check)."""
+    salted min-label propagation; the DuckDB oracle reproduces it with a
+    recursive-CTE transitive closure — exact on this graph size)."""
     edges = (
         q_kg_cooccurrence(spark, sf_dir)
         .filter(F.col("n_docs") >= 3)
         .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
     )
     return connected_components(edges)
+
+
+_SQL_KG_COMPONENTS = f"""
+    with recursive e0 as (
+        select term_a, term_b from ({_SQL_KG_COOC}) where n_docs >= 3
+    ),
+    e as (select term_a as u, term_b as v from e0
+          union select term_b, term_a from e0),
+    nodes as (select distinct u as node from e),
+    reach(node, r) as (
+        select node, node from nodes
+        union
+        select reach.node, e.v from reach join e on reach.r = e.u
+    )
+    select node, min(r) as component from reach group by node
+"""
 
 
 # --------------------------------------------- sheet-spec engine (dims)
@@ -828,7 +845,7 @@ def oracles() -> dict[str, str]:
         "kg_cooccurrence": _SQL_KG_COOC,
         "kg_entity_degree": _SQL_KG_DEGREE,
         "kg_subject_blocks": _SQL_KG_BLOCKS,
-        # kg_components: iterative — rows-only
+        "kg_components": _SQL_KG_COMPONENTS,
         "sheet_nation_triples": _SQL_NATION,
         "w1_running_counter": _SQL_W1,
         "w2_rdf_seq": _SQL_W2,

@@ -103,6 +103,62 @@ class StagedPipeline:
         os.replace(tmp, path + "/" + MANIFEST)  # atomic commit point
         return self.spark.read.parquet(path).drop(LINEAGE_COL)
 
+    def incremental_stage(
+        self,
+        name: str,
+        inputs: DataFrame,
+        partition_key: str,
+        fn: Callable[[DataFrame], DataFrame],
+    ) -> DataFrame:
+        """Partition-level resume: apply ``fn`` only to input partitions
+        (values of ``partition_key``, e.g. a crawl-batch id) that no
+        committed manifest lists as done; append their output via
+        dynamic partition overwrite (idempotent if a previous attempt
+        died mid-write), then extend the manifest.
+
+        This is the per-partition lineage protocol of the north rule:
+        the manifest's ``done_partitions`` is the lineage set, the
+        anti-join (here a NOT IN over the driver-known id list) skips
+        completed work, and a partition interrupted before its manifest
+        update is simply re-overwritten on the next run.
+        """
+        path = self._path(name)
+        done: list = []
+        if self.is_committed(name):
+            done = self.manifest(name).get("done_partitions", [])
+        todo_df = inputs
+        if done:
+            todo_df = inputs.filter(~F.col(partition_key).isin(done))
+        todo = [
+            r[0] for r in todo_df.select(partition_key).distinct().collect()
+        ]
+        if not todo:
+            self.log.append(f"resume:{name}")
+            return self.spark.read.parquet(path)
+
+        self.log.append(f"compute:{name}:{sorted(todo)}")
+        out = fn(todo_df)
+        assert partition_key in out.columns, (
+            f"incremental stage {name!r} output must carry {partition_key!r}"
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_key)
+            .parquet(path)
+        )
+        manifest = {
+            "stage": name,
+            "incremental": True,
+            "partition_key": partition_key,
+            "done_partitions": sorted(done + todo, key=str),
+        }
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(path, MANIFEST))
+        return self.spark.read.parquet(path)
+
     def counters(self) -> dict[str, int]:
         """Committed row counts per stage."""
         out = {}
