@@ -168,10 +168,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     (doc_a, doc_b, jaccard).  Pair-local array math after two joins — the
-    verification cost is O(candidates), not O(n^2)."""
+    verification cost is O(candidates), not O(n^2).
+
+    Shingles are hashed to int64 (``hash60``) *before* the joins, so the
+    shuffle carries compact hash arrays instead of full k-gram string
+    arrays (~5-10x smaller at web scale).  Jaccard over the distinct
+    hashed sets equals Jaccard over the distinct string sets modulo
+    60-bit collisions, and the DuckDB oracle applies the identical hash,
+    so verified values match by construction."""
     sh = docs.select(
         "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), k)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(tokens(F.col("text")), k), lambda s: hash60(s))
+        ).alias("sh"),
     )
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

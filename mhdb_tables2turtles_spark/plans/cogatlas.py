@@ -137,7 +137,10 @@ def resolve_nodes(tables: dict[str, DataFrame]) -> DataFrame:
     allc = parts[0]
     for p in parts[1:]:
         allc = allc.unionByName(p)
-    w = Window.partitionBy("node_id").orderBy("__rank")
+    # secondary sort on value: duplicate node_id rows *within* one CSV
+    # would otherwise resolve to an arbitrary row per run (the reference
+    # deterministically takes its first matching row, .values[0])
+    w = Window.partitionBy("node_id").orderBy("__rank", "value")
     return (
         allc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

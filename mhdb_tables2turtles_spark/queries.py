@@ -279,9 +279,17 @@ _SQL_W1 = """
 
 
 def q_w2_rdf_seq(spark, sf_dir):
-    """rdf:Seq membership triples via posexplode (reference W2)."""
+    """rdf:Seq membership triples via posexplode (reference W2).
+
+    Split with ``limit=6`` so only the first 5 token boundaries are ever
+    found — the old ``slice(tokens(text), 1, 5)`` materialized the full
+    token array per document just to keep 5 (~10x wasted work on long
+    docs).  Elements 1..5 of a limit-6 split equal elements 1..5 of the
+    full split by definition, so the (unbounded) DuckDB oracle is
+    value-identical.
+    """
     docs = _read_spread(spark, sf_dir, "documents")
-    first5 = F.slice(tokens(F.col("text")), 1, 5)
+    first5 = F.slice(F.split(norm_text(F.col("text")), " ", 6), 1, 5)
     return docs.select(
         F.concat(F.lit(":doc_"), F.col("doc_id")).alias("subject"),
         F.posexplode(first5).alias("pos", "token"),
@@ -589,8 +597,10 @@ def q_jaccard_pairs(spark, sf_dir):
 _SQL_JACCARD = f"""
     with toks as (select doc_id, {_TOKS} as ts from documents),
     sh as (select doc_id,
-                  list_distinct(list_transform(generate_series(1, len(ts)-2),
-                                i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) as sh
+                  list_distinct(list_transform(
+                      list_transform(generate_series(1, len(ts)-2),
+                                     i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]),
+                      s -> {_sql_hash60('s')})) as sh
            from toks),
     pairs as ({_SQL_MINHASH_PAIRS})
     select doc_a, doc_b,

@@ -53,13 +53,11 @@ def stream_triples(pages: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
     extracted = pages.select(
         "url", "warc_ts", extract_text_col(F.col("html")).alias("text")
     )
-    mentions = scan_mentions(extracted, surfaces)
-    # re-attach warc_ts for watermarking (scan keeps url only)
-    with_ts = mentions.join(
-        extracted.select("url", "warc_ts"), "url"
-    )
+    # warc_ts rides through the scan kernel itself — no stream-stream
+    # re-join back to the source (which would hold unbounded join state)
+    mentions = scan_mentions(extracted, surfaces, passthrough=("warc_ts",))
     return (
-        with_ts.select(
+        mentions.select(
             udfs.iri(F.col("url")).alias("subject"),
             F.lit(":mentions").alias("predicate"),
             F.col("surface").alias("object"),
@@ -85,9 +83,7 @@ def windowed_mention_rates(
     extracted = pages.select(
         "url", "warc_ts", extract_text_col(F.col("html")).alias("text")
     )
-    mentions = scan_mentions(extracted, surfaces).join(
-        extracted.select("url", "warc_ts"), "url"
-    )
+    mentions = scan_mentions(extracted, surfaces, passthrough=("warc_ts",))
     return (
         mentions.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("surface"))

@@ -77,24 +77,34 @@ def connected_components(
             F.col("node").alias("component"),
             F.col("component").alias("__cc"),
         )
-        new_labels = (
-            new_labels.join(comp_of_comp, "component", "left")
+        new_labels = new_labels.join(comp_of_comp, "component", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
+            ).alias("component"),
+        )
+        # convergence check folded into the propagate job: carry a
+        # per-row changed flag through the checkpoint (one extra join on
+        # the already-materialized old labels, evaluated in the SAME job)
+        # instead of running a separate join+count job per round — the
+        # post-checkpoint filter/limit/count scans cached partitions only
+        flagged = (
+            new_labels.join(
+                labels.select("node", F.col("component").alias("__prev")),
+                "node",
+                "left",
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
-                ).alias("component"),
+                "component",
+                (F.col("component") != F.coalesce(F.col("__prev"), F.col("component"))).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter(F.col("__changed")).limit(1).count()
+        labels = flagged.drop("__changed")
         if changed == 0:
             break
     return labels

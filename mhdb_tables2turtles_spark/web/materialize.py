@@ -122,21 +122,47 @@ class StagedPipeline:
         completed work, and a partition interrupted before its manifest
         update is simply re-overwritten on the next run.
         """
+        from pyspark.sql.types import StructType
+
         path = self._path(name)
         done: list = []
+        null_done = False
+        schema_json = None
         if self.is_committed(name):
-            done = self.manifest(name).get("done_partitions", [])
-        todo_df = inputs
-        if done:
-            todo_df = inputs.filter(~F.col(partition_key).isin(done))
+            m = self.manifest(name)
+            done = m.get("done_partitions", [])
+            null_done = m.get("null_partition_done", False)
+            schema_json = m.get("schema")
+
+        def _read_committed() -> DataFrame:
+            # committed schema recorded in the manifest: an all-empty (or
+            # not-yet-written) stage directory has no data files to infer
+            # from, and inference would also widen partition-column types
+            reader = self.spark.read
+            if schema_json:
+                reader = reader.schema(StructType.fromJson(schema_json))
+            return reader.parquet(path)
+
+        # explicit null handling: `~isin(done)` is NULL (dropped) for a
+        # null partition key, which would silently skip those rows forever
+        key = F.col(partition_key)
+        not_done = ~key.isin(done) if done else F.lit(True)
+        todo_df = inputs.filter(
+            (key.isNotNull() & not_done)
+            | (key.isNull() & F.lit(not null_done))
+        )
         todo = [
             r[0] for r in todo_df.select(partition_key).distinct().collect()
         ]
         if not todo:
             self.log.append(f"resume:{name}")
-            return self.spark.read.parquet(path)
+            if schema_json is None:
+                # never committed AND zero input rows: nothing on disk to
+                # read — hand back the (empty) transform result directly
+                return fn(todo_df)
+            return _read_committed()
 
-        self.log.append(f"compute:{name}:{sorted(todo)}")
+        self.log.append(f"compute:{name}:{sorted(todo, key=str)}")
         out = fn(todo_df)
         assert partition_key in out.columns, (
             f"incremental stage {name!r} output must carry {partition_key!r}"
@@ -147,17 +173,22 @@ class StagedPipeline:
             .partitionBy(partition_key)
             .parquet(path)
         )
+        schema_json = out.schema.jsonValue()
         manifest = {
             "stage": name,
             "incremental": True,
             "partition_key": partition_key,
-            "done_partitions": sorted(done + todo, key=str),
+            "done_partitions": sorted(
+                done + [t for t in todo if t is not None], key=str
+            ),
+            "null_partition_done": null_done or any(t is None for t in todo),
+            "schema": schema_json,
         }
         tmp = os.path.join(path, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(path, MANIFEST))
-        return self.spark.read.parquet(path)
+        return _read_committed()
 
     def counters(self) -> dict[str, int]:
         """Committed row counts per stage."""

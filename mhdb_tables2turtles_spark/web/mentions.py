@@ -18,46 +18,66 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mhdb_tables2turtles_spark.functions import udfs
 from mhdb_tables2turtles_spark.web.trie import automaton_for
 
 __all__ = ["scan_mentions", "page_entity_triples", "cooccurrence_edges"]
 
-MENTIONS_SCHEMA = "url string, surface string, start int, end int, n_tokens_left int"
+MENTIONS_SCHEMA = "url string, surface string, start int, end int"
 
 # context window (chars) on each side of a match, for the linking scorer
 _CTX = 120
 
 
-def scan_mentions(pages: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
+def scan_mentions(
+    pages: DataFrame,
+    surfaces: tuple[str, ...],
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """pages(url, text) -> one row per vocabulary occurrence.
 
     ``surfaces`` must be lowercase; matching is case-insensitive on
     word boundaries.
+
+    ``passthrough`` names extra input columns carried verbatim onto every
+    emitted mention row (e.g. ``("warc_ts",)`` so streaming consumers get
+    event time without a stream-stream re-join back to the page source —
+    unbounded join state avoided by construction).
+
+    The scan itself is O(page_len + matches) per page: the automaton walk
+    is linear and each hit appends one tuple.  (An earlier revision also
+    computed a per-match prefix space count — O(matches x page_len),
+    quadratic on mention-dense pages — for a column no consumer read; it
+    is deliberately gone.)
     """
     spark = pages.sparkSession
     bc = spark.sparkContext.broadcast(tuple(surfaces))
+
+    extra = tuple(passthrough)
+    out_schema = T.StructType.fromDDL(MENTIONS_SCHEMA)
+    for name in extra:
+        out_schema.add(pages.schema[name])
+    in_cols = ["url", "text", *extra]
+    out_cols = ["url", "surface", "start", "end", *extra]
 
     def scan(batches):
         patterns = bc.value
         auto = automaton_for(patterns)
         for pdf in batches:
             rows = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            for url, text, *rest in pdf[in_cols].itertuples(
+                index=False, name=None
+            ):
                 if not text:
                     continue
                 low = text.lower()
                 for start, end, idx in auto.find_words(low):
-                    rows.append(
-                        (url, patterns[idx], start, end, low.count(" ", 0, start))
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "surface", "start", "end", "n_tokens_left"],
-            )
+                    rows.append((url, patterns[idx], start, end, *rest))
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return pages.select("url", "text").mapInPandas(scan, schema=MENTIONS_SCHEMA)
+    return pages.select(*in_cols).mapInPandas(scan, schema=out_schema)
 
 
 def page_entity_triples(linked: DataFrame) -> DataFrame:

@@ -147,10 +147,16 @@ class KGPipeline:
             )
 
             ttl_dir = os.path.join(self.staged.workdir, "ttl")
-            if not os.path.exists(os.path.join(ttl_dir, "_SUCCESS")):
+            # resume gate = header.ttl, which is written LAST (atomically
+            # via os.replace): gating on the shard writer's _SUCCESS would
+            # let a kill in the window between shard job and header write
+            # leave every later resume permanently header-less
+            header_path = os.path.join(ttl_dir, "header.ttl")
+            if not os.path.exists(header_path):
                 write_body_shards(canonical, ttl_dir)
                 # header file sorts before part-* shards when concatenated
-                with open(os.path.join(ttl_dir, "header.ttl"), "w") as f:
+                tmp = header_path + ".tmp"
+                with open(tmp, "w") as f:
                     f.write(
                         render_header(
                             "http://www.purl.org/mentalhealth/webkg",
@@ -159,6 +165,7 @@ class KGPipeline:
                             "web-scale KG constructed from crawled pages",
                         )
                     )
+                os.replace(tmp, header_path)
 
         return {
             "extract": extracted,
