@@ -40,31 +40,82 @@ ROW_ID = "row_id"  # stable source-row ordinal; fixtures must carry it
 @dataclass(frozen=True)
 class Literal:
     """Conditionally-emitted typed/language literal (reference pattern:
-    ingest.py:3428-3456)."""
+    ingest.py:3428-3456).  ``split=True`` comma-splits the cell into one
+    literal per element (the reference's aliases pattern,
+    ingest.py:1373-1377: each alias becomes its own ``rdfs:label``;
+    ``return_string`` strips each, so trim-on-split is faithful)."""
 
     column: str
     predicate: str
     kind: str = "lang"  # lang|anyURI|gyear|int|string|decimal|nonNegativeInteger
     lang: str = "en"
+    split: bool = False
+    # reference sometimes formats int(cell) (e.g. '"{0}"^^xsd:nonNegativeInteger'
+    # .format(int(PubMedID)), ingest.py:1030) and sometimes the raw cell text
+    int_cast: bool = False
 
 
 @dataclass(frozen=True)
 class IriRef:
     """IRI-valued cell emitted raw (owl:sameAs), comma-split raw
     (rdfs:equivalentClass), or re-minted (rdfs:subClassOf)
-    (reference pattern: ingest.py:3091-3106)."""
+    (reference pattern: ingest.py:3091-3106).  ``default`` emits that
+    constant object when the cell is empty (the reference's
+    ``else: predicates_list.append(("rdfs:subClassOf", ":DisorderSeverity"))``
+    fallback, ingest.py:551-552)."""
 
     column: str
     predicate: str
     split: bool = False
     raw: bool = True
     style: str = "delimited"
+    default: str | None = None
+
+
+@dataclass(frozen=True)
+class Constant:
+    """Unconditional constant triple per (kept) row — the reference's
+    ``predicates_list.append(("rdfs:subClassOf", ":DomainType"))`` pattern
+    (ingest.py:238)."""
+
+    predicate: str
+    object: str
+
+
+@dataclass(frozen=True)
+class CodeMap:
+    """Int-coded cell -> constant object (F8; reference pattern
+    ``if np.int(index_gender) == 1: ... ":Female"``, ingest.py:427-433).
+    ``mapping`` is a tuple of (code, object) pairs; unmapped present codes
+    fall back to ``default`` (or emit nothing when None)."""
+
+    column: str
+    predicate: str
+    mapping: tuple = ()
+    default: str | None = None
 
 
 @dataclass(frozen=True)
 class ForeignKey:
     """Scalar-or-comma-separated int FK resolved against a dimension sheet,
-    one triple per element (reference pattern: ingest.py:3183-3196)."""
+    one triple per element (reference pattern: ingest.py:3183-3196).
+
+    Extensions for the non-chills workbooks:
+
+    * ``default`` — constant object when the FK cell is empty (the
+      treatments/medications/sensors ``else: rdfs:subClassOf :Treatment``
+      fallback, ingest.py:1369-1370).
+    * ``reverse`` — emit (resolved_dim_iri, predicate, row_subject)
+      instead: the task_implementations pattern where the *dimension* row
+      becomes the subject (``:<Task> :hasTaskImplementation <impl>``,
+      ingest.py:2409-2414).
+    * ``obj_prefix`` — string prepended to the minted object IRI (the
+      ``"mhdb-resources" + check_iri(project)`` cross-workbook qualifier,
+      ingest.py:2419-2420).
+    * ``pred_code_column``/``pred_map``/``pred_default`` — dispatch the
+      predicate on another int-coded column (sign_or_symptom_number ->
+      :isMedicalSignOf / :isMedicalSymptomOf / fallback,
+      ingest.py:448-456)."""
 
     column: str
     dim: str
@@ -72,6 +123,12 @@ class ForeignKey:
     predicate: str
     style: str = "PascalCase"
     truncate: int | None = None
+    default: str | None = None
+    reverse: bool = False
+    obj_prefix: str | None = None
+    pred_code_column: str | None = None
+    pred_map: tuple = ()
+    pred_default: str | None = None
 
 
 @dataclass(frozen=True)
@@ -81,6 +138,7 @@ class SheetSpec:
     subject_style: str = "PascalCase"
     subject_truncate: int | None = None
     rdf_type: str | None = None
+    type_predicate: str = "a"  # states uses rdfs:subClassOf constants
     label_predicate: str | None = "rdfs:label"
     label_column: str | None = None  # defaults to subject_column
     emitters: Sequence = field(default_factory=tuple)
@@ -97,9 +155,9 @@ def _literal_expr(lit: Literal) -> F.Column:
             '"%s"^^xsd:gyear', F.col(lit.column).cast("double").cast("long")
         )
     if lit.kind in ("int", "nonNegativeInteger", "decimal"):
-        return F.format_string(
-            f'"%s"^^xsd:{lit.kind}', F.col(lit.column).cast("string")
-        )
+        val = F.col(lit.column)
+        val = val.cast("double").cast("long") if lit.int_cast else val
+        return F.format_string(f'"%s"^^xsd:{lit.kind}', val.cast("string"))
     if lit.kind == "string":
         return F.format_string('"%s"^^xsd:string', col)
     raise ValueError(f"unknown literal kind: {lit.kind!r}")
@@ -137,11 +195,13 @@ def sheet_triples(
         "__subject", udfs.iri(subj, spec.subject_style)
     )
 
-    def part(obj_expr: F.Column, predicate: str, rank: int, src=None):
+    def part(obj_expr: F.Column, predicate, rank: int, src=None, subj=None):
         src_df = base if src is None else src
+        pred = F.lit(predicate) if isinstance(predicate, str) else predicate
+        subj = F.col("__subject") if subj is None else subj
         return src_df.select(
-            F.col("__subject").alias("subject"),
-            F.lit(predicate).alias("predicate"),
+            subj.alias("subject"),
+            pred.alias("predicate"),
             obj_expr.alias("object"),
             F.lit(sheet_rank).alias("sheet_rank"),
             F.col(ROW_ID).alias("row_id"),
@@ -151,7 +211,7 @@ def sheet_triples(
     parts = []
     rank = 0
     if spec.rdf_type:
-        parts.append(part(F.lit(spec.rdf_type), "a", rank))
+        parts.append(part(F.lit(spec.rdf_type), spec.type_predicate, rank))
         rank += 1
     if spec.label_predicate:
         label_src = F.trim(F.col(spec.label_column or spec.subject_column))
@@ -163,10 +223,36 @@ def sheet_triples(
         rank += 1
 
     for em in spec.emitters:
-        if isinstance(em, Literal):
+        if isinstance(em, Constant):
+            parts.append(part(F.lit(em.object), em.predicate, rank))
+        elif isinstance(em, CodeMap):
             src = base.filter(exclude_filter(F.col(em.column)))
-            parts.append(part(_literal_expr(em), em.predicate, rank, src))
+            code = F.col(em.column).cast("double").cast("long")
+            obj = F.lit(em.default)
+            for c, o in reversed(tuple(em.mapping)):
+                obj = F.when(code == c, F.lit(o)).otherwise(obj)
+            src = src.withColumn("__cm", obj).filter(F.col("__cm").isNotNull())
+            parts.append(part(F.col("__cm"), em.predicate, rank, src))
+        elif isinstance(em, Literal):
+            if em.split:
+                src = (
+                    base.filter(exclude_filter(F.col(em.column)))
+                    .withColumn(
+                        "__elem",
+                        F.explode(F.split(F.col(em.column), ",")),
+                    )
+                    .withColumn("__elem", F.trim("__elem"))
+                    .filter(exclude_filter(F.col("__elem")))
+                )
+                lit = Literal("__elem", em.predicate, em.kind, em.lang)
+                parts.append(part(_literal_expr(lit), em.predicate, rank, src))
+            else:
+                src = base.filter(exclude_filter(F.col(em.column)))
+                parts.append(part(_literal_expr(em), em.predicate, rank, src))
         elif isinstance(em, IriRef):
+            if em.default is not None:
+                absent = base.filter(~exclude_filter(F.col(em.column)))
+                parts.append(part(F.lit(em.default), em.predicate, rank, absent))
             if em.split:
                 src = (
                     base.filter(exclude_filter(F.col(em.column)))
@@ -197,9 +283,14 @@ def sheet_triples(
                 )
                 parts.append(part(obj, em.predicate, rank, src))
         elif isinstance(em, ForeignKey):
+            if em.default is not None:
+                absent = base.filter(~exclude_filter(F.col(em.column)))
+                parts.append(part(F.lit(em.default), em.predicate, rank, absent))
+            fact_cols = ["__subject", ROW_ID]
+            if em.pred_code_column:
+                fact_cols.append(em.pred_code_column)
             fact = base.filter(exclude_filter(F.col(em.column))).select(
-                "__subject",
-                ROW_ID,
+                *fact_cols,
                 F.explode(_fk_elements(F.col(em.column))).alias("__fk"),
             )
             dim = tables[em.dim].select(
@@ -212,7 +303,21 @@ def sheet_triples(
             val = F.col("__val")
             if em.truncate:
                 val = F.substring(val, 1, em.truncate)
-            parts.append(part(udfs.iri(val, em.style), em.predicate, rank, joined))
+            obj = udfs.iri(val, em.style)
+            if em.obj_prefix:
+                obj = F.concat(F.lit(em.obj_prefix), obj)
+            pred = em.predicate
+            if em.pred_code_column:
+                code = F.col(em.pred_code_column).cast("double").cast("long")
+                pred = F.lit(em.pred_default or em.predicate)
+                for c, p in reversed(tuple(em.pred_map)):
+                    pred = F.when(code == c, F.lit(p)).otherwise(pred)
+            if em.reverse:
+                parts.append(
+                    part(F.col("__subject"), pred, rank, joined, subj=obj)
+                )
+            else:
+                parts.append(part(obj, pred, rank, joined))
         else:
             raise TypeError(f"unknown emitter: {em!r}")
         rank += 1

@@ -1,0 +1,124 @@
+"""Parity gate for the non-chills workbook plans: the REFERENCE CODE
+ITSELF is the oracle.
+
+Each test feeds the same deterministic fixture frames to (a) the
+reference's ``ingest_*`` function (run unmodified via a fake-ExcelFile
+shim, with ``np.int`` restored for numpy>=1.24) and (b) our SheetSpec
+plan, then asserts the two triple sets are identical — P = R = 1.0, a
+stricter gate than the BASELINE P/R >= 0.95 target.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+class FakeXls:
+    """Duck-typed stand-in for pandas.ExcelFile: .parse(sheet) -> frame."""
+
+    def __init__(self, frames):
+        self.frames = frames
+
+    def parse(self, name):
+        return self.frames[name].copy()
+
+
+@pytest.fixture(scope="module")
+def reference_ingest():
+    if not hasattr(np, "int"):
+        np.int = int  # removed alias; the 2020 reference predates numpy 1.24
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import mhdb.ingest as ingest
+
+    return ingest
+
+
+def golden_set(statements: dict) -> set[tuple[str, str, str]]:
+    return {
+        (s, p, o)
+        for s, po in statements.items()
+        for p, objs in po.items()
+        for o in objs
+    }
+
+
+def plan_set(spark, frames, specs) -> set[tuple[str, str, str]]:
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.sheetspec import workbook_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import spark_tables
+
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(workbook_triples(tables, specs))
+    return {(r.subject, r.predicate, r.object) for r in t.collect()}
+
+
+def assert_equal_sets(got: set, want: set):
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"missing={sorted(missing)[:10]}\nextra={sorted(extra)[:10]}\n"
+        f"(missing {len(missing)}, extra {len(extra)} of {len(want)} golden)"
+    )
+
+
+def test_states_matches_reference(spark, reference_ingest):
+    from mhdb_tables2turtles_spark.plans.states import STATES_SPECS
+    from mhdb_tables2turtles_spark.sources.workbooks import states_frames
+
+    frames = states_frames()
+    # ingest_states as written crashes (NameError: states_classes /
+    # audience_statements, ingest.py:123-125); run only its executable
+    # sheet loops by patching the dead names to the evident intent
+    ingest = reference_ingest
+    src = _patched_ingest_states(ingest)
+    want = golden_set(src(FakeXls(frames), statements={}))
+    got = plan_set(spark, frames, STATES_SPECS)
+    assert_equal_sets(got, want)
+
+
+def _patched_ingest_states(ingest):
+    """Reference ingest_states with its three NameError typos aliased to
+    the parsed frames (states_classes->state_classes etc.) — no semantic
+    change; the loops themselves run verbatim."""
+    import types
+
+    fn = ingest.ingest_states
+    g = dict(fn.__globals__)
+    g["audience_statements"] = lambda statements: statements
+
+    code = fn.__code__
+    patched = types.FunctionType(code, g, fn.__name__, fn.__defaults__)
+
+    def run(xls, statements):
+        frames = dict(xls.frames)
+        # expose the misspelled names the loops read
+        class Shim(FakeXls):
+            def parse(self, name):
+                return self.frames[name].copy()
+
+        shim = Shim(frames)
+        # the function body assigns state_classes but iterates
+        # states_classes: pre-seed the globals it will fall back to
+        g["states_classes"] = frames["Classes"].fillna(ingest.emptyValue)
+        g["states_properties"] = frames["Properties"].fillna(ingest.emptyValue)
+        return patched(shim, statements)
+
+    return run
+
+
+def test_measures_matches_reference(spark, reference_ingest):
+    from mhdb_tables2turtles_spark.plans.measures import MEASURES_SPECS
+    from mhdb_tables2turtles_spark.sources.workbooks import measures_frames
+
+    frames = measures_frames()
+    want = golden_set(
+        reference_ingest.ingest_measures(FakeXls(frames), statements={})
+    )
+    got = plan_set(spark, frames, MEASURES_SPECS)
+    assert_equal_sets(got, want)
