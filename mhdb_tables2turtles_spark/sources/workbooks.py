@@ -27,16 +27,22 @@ from pyspark.sql import types as T
 __all__ = ["states_frames", "measures_frames", "spark_tables"]
 
 
-# columns holding real ints (the reference equi-compares them against
-# np.int() values, so string-typed cells would silently never match)
-_INT_COLS = {"index", "row_id"}
+def _is_int_col(name: str) -> bool:
+    """Columns holding real ints: the reference equi-compares ``index`` and
+    scalar ``index_*`` cells directly against int values (e.g.
+    ``references["index"] == row[1]["index_reference"]``, ingest.py:421),
+    so string-typed cells would silently never match.  csv-int ``indices_*``
+    cells stay strings (always ``.split(',')``-parsed)."""
+    return name in ("index", "row_id", "cogatlas_node_id") or (
+        name.startswith("index_") and not name.startswith("indices_")
+    ) or name.startswith("cogatlas_startNode") or name.startswith("cogatlas_endNode")
 
 
 def _frame(columns: list[str], rows: list[tuple]) -> pd.DataFrame:
     df = pd.DataFrame(rows, columns=columns).astype(object)
     df = df.where(pd.notna(df), None)
     for c in df.columns:
-        if c in _INT_COLS:
+        if _is_int_col(c):
             df[c] = df[c].map(lambda v: None if v is None else int(v))
     return df
 
@@ -128,6 +134,121 @@ def measures_frames() -> dict[str, pd.DataFrame]:
     }
 
 
+def disorders_frames() -> dict[str, pd.DataFrame]:
+    """disorders workbook (ingest.py:253-1039 sheet shapes).
+
+    Row 1 exercises the full compound-label stack (ICD codes, specifier,
+    inclusion/exclusion criteria, severity, 4-level category chain); rows
+    2-4 take the sub/cat/fallback branches.
+    """
+    disorders = _frame(
+        ["index", "disorder", "equivalentClasses", "subClassOf", "note",
+         "ICD9CM", "ICD10CM", "index_diagnostic_specifier",
+         "index_diagnostic_inclusion_criterion",
+         "index_diagnostic_inclusion_criterion2",
+         "index_diagnostic_exclusion_criterion",
+         "index_diagnostic_exclusion_criterion2", "index_severity",
+         "index_disorder_category", "index_disorder_subcategory",
+         "index_disorder_subsubcategory", "index_disorder_subsubsubcategory"],
+        [
+            ("1", "fear of spiders", None, None, None, "300.29", "F40.218",
+             "1", "1", "2", "3", None, "1", "2", "2", "1", "1"),
+            ("2", "bipolar I disorder", None, None, None, None, "F31",
+             None, None, None, None, None, "2", "1", "1", None, None),
+            ("3", "generalized anxiety disorder (GAD)", "obo:MONDO_0001942",
+             "Mental State", "chronic  worry", None, None,
+             None, None, None, None, None, None, "2", None, None, None),
+            ("4", "despair", None, None, None, None, None,
+             None, None, None, None, None, None, None, None, None, None),
+        ],
+    )
+    sign_or_symptoms = _frame(
+        ["index", "sign_or_symptom", "sign_or_symptom_number",
+         "index_reference", "index_gender", "indices_disorder",
+         "indices_sign_or_symptom"],
+        [
+            ("1", "restlessness", "2", "1", None, "2,3", None),
+            ("2", "tremor", "1", None, "1", "1", "1"),
+            ("3", "racing thoughts?", "2", "2", "2", "3", None),
+        ],
+    )
+    examples = _frame(
+        ["index", "examples_sign_or_symptoms", "indices_sign_or_symptom"],
+        [
+            ("1", "pacing around", "1,2"),
+            ("2", 'hand "shaking"', "2"),
+        ],
+    )
+    severities = _frame(
+        ["index", "severity", "definition", "equivalentClasses", "subClassOf"],
+        [
+            ("1", "mild", "minimal impairment", None, None),
+            ("2", "moderate", None, "obo:HP_0012826", None),
+            ("3", "severe -- disabling", None, None, "Mental State"),
+        ],
+    )
+    diagnostic_specifiers = _frame(
+        ["index", "diagnostic_specifier", "equivalentClasses", "subClassOf"],
+        [
+            ("1", "with anxious distress", None, None),
+            ("2", "in partial remission", "obo:MONDO_0021128", None),
+        ],
+    )
+    diagnostic_criteria = _frame(
+        ["index", "diagnostic_criterion", "equivalentClasses", "subClassOf"],
+        [
+            ("1", "excessive fear", None, None),
+            ("2", "immediate anxiety response", None, None),
+            ("3", "better explained by OCD", None, "Mental State"),
+        ],
+    )
+    categories = _frame(
+        ["index", "disorder_category", "equivalentClasses", "subClassOf"],
+        [
+            ("1", "mood disorders", None, None),
+            ("2", "anxiety disorders", "obo:MONDO_0011918", None),
+        ],
+    )
+    subcategories = _frame(
+        ["index", "disorder_subcategory", "equivalentClasses", "subClassOf"],
+        [
+            ("1", "bipolar disorders", None, None),
+            ("2", "phobias", None, None),
+        ],
+    )
+    subsubcategories = _frame(
+        ["index", "disorder_subsubcategory", "equivalentClasses", "subClassOf"],
+        [("1", "specific phobias", None, None)],
+    )
+    subsubsubcategories = _frame(
+        ["index", "disorder_subsubsubcategory", "equivalentClasses", "subClassOf"],
+        [("1", "animal phobias", None, None)],
+    )
+    references = _frame(
+        ["index", "title", "link", "entry_date", "authors", "year", "PubMedID"],
+        [
+            ("1", "DSM-5", "https://dsm.example.org ", None, "APA", "2013", None),
+            ("2", "A study of worry/fear", None, "2020-01-02",
+             "Smith J, Lee K", None, "12345"),
+        ],
+    )
+    return {
+        "Classes": _classes_frame(),
+        "Properties": _properties_frame(),
+        "disorders": disorders,
+        "sign_or_symptoms": sign_or_symptoms,
+        "examples_sign_or_symptoms": examples,
+        "severities": severities,
+        "diagnostic_specifiers": diagnostic_specifiers,
+        "diagnostic_criteria": diagnostic_criteria,
+        "disorder_categories": categories,
+        "disorder_subcategories": subcategories,
+        "disorder_subsubcategories": subsubcategories,
+        "disorder_subsubsubcategories": subsubsubcategories,
+        "references": references,
+    }
+
+
 def spark_tables(
     spark: SparkSession, frames: dict[str, pd.DataFrame]
 ) -> dict:
@@ -143,7 +264,7 @@ def spark_tables(
         schema = T.StructType(
             [
                 T.StructField(
-                    c, T.LongType() if c in _INT_COLS else T.StringType()
+                    c, T.LongType() if _is_int_col(c) else T.StringType()
                 )
                 for c in pdf.columns
             ]

@@ -112,6 +112,24 @@ def _patched_ingest_states(ingest):
     return run
 
 
+def test_disorders_matches_reference(spark, reference_ingest):
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.disorders import disorders_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import (
+        disorders_frames,
+        spark_tables,
+    )
+
+    frames = disorders_frames()
+    want = golden_set(
+        reference_ingest.ingest_disorders(FakeXls(frames), statements={})
+    )
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(disorders_triples(tables))
+    got = {(r.subject, r.predicate, r.object) for r in t.collect()}
+    assert_equal_sets(got, want)
+
+
 def test_measures_matches_reference(spark, reference_ingest):
     from mhdb_tables2turtles_spark.plans.measures import MEASURES_SPECS
     from mhdb_tables2turtles_spark.sources.workbooks import measures_frames
