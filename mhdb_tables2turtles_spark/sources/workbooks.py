@@ -249,6 +249,123 @@ def disorders_frames() -> dict[str, pd.DataFrame]:
     }
 
 
+def resources_frames() -> dict[str, pd.DataFrame]:
+    """resources workbook (ingest.py:1041-1832 sheet shapes).
+
+    ``index_license`` is always empty: the reference's license branch
+    dereferences an undefined name (``shared``, ingest.py:1312) and
+    crashes whenever a license is set, so the executable surface is the
+    null path.  Our plan implements the evident licenses-sheet intent,
+    covered by a dedicated unit test instead of this parity fixture.
+    """
+    guide_types = _frame(
+        ["index", "guide_type", "subClassOf"],
+        [("1", "clinical guideline", None), ("2", "self-help book", "Mental State")],
+    )
+    guides = _frame(
+        ["index", "title", "link", "entry_date", "authors", "publisher",
+         "pubdate", "indices_guide_type", "index_gender", "indices_audience",
+         "indices_subject", "indices_language", "index_license"],
+        [
+            ("1", "Coping with worry -- a guide", "https://guide.example.org ",
+             "2020-03-04", "Smith J", "ACME Press", "2019", "1,2", "1",
+             None, None, "1", None),
+            ("2", 'The "calm" handbook', None, None, None, None, None,
+             "2", None, None, None, None, None),
+        ],
+    )
+    treatments = _frame(
+        ["index", "treatment", "indices_treatment", "aliases", "definition",
+         "equivalentClasses"],
+        [
+            ("1", "talk therapy", None, "psychotherapy, counselling",
+             "conversation-based treatment", None),
+            ("2", "cognitive behavioral therapy (CBT)", "1", "CBT", None,
+             "obo:MONDO_0000001"),
+        ],
+    )
+    medications = _frame(
+        ["index", "medication", "indices_medication", "aliases",
+         "equivalentClasses"],
+        [
+            ("1", "SSRI", None, None, None),
+            ("2", "fluoxetine / Prozac", "1", "Prozac", "obo:CHEBI_5118"),
+        ],
+    )
+    project_types = _frame(
+        ["index", "project_type", "definition", "aliases",
+         "equivalentClasses", "indices_project_type"],
+        [
+            ("1", "mobile app", "software for phones", "app", None, None),
+            ("2", "wearable study", None, None, None, "1"),
+        ],
+    )
+    projects = _frame(
+        ["index", "project", "description", "link", "indices_project_type",
+         "indices_group", "indices_sensor", "indices_reference"],
+        [
+            ("1", "MoodTracker 3000", "tracks mood\ndaily",
+             "https://mood.example.org", "1", "1,2", None, "1"),
+            ("2", "Calm Watch", None, None, "2", "3", None, None),
+        ],
+    )
+    groups = _frame(
+        ["index", "group", "organization", "link", "abbreviation", "member"],
+        [
+            ("1", "Digital Health Lab", "Example University",
+             "https://dhl.example.org", "DHL", "Ada Lovelace"),
+            ("2", "Open Minds Group", None, None, None, None),
+            ("3", None, "Wellness Corp", None, "WC", "Grace Hopper"),
+        ],
+    )
+    people = _frame(
+        ["index", "person", "definition", "aliases", "equivalentClasses",
+         "indices_person"],
+        [
+            ("1", "clinician", "licensed care provider", "doctor, therapist",
+             None, None),
+            ("2", "school counselor", None, None, None, "1"),
+        ],
+    )
+    languages = _frame(
+        ["index", "language", "indices_language", "equivalentClasses"],
+        [
+            ("1", "English", None, None),
+            ("2", "Spanish / Castilian", "1", "obo:LANG_0000002"),
+        ],
+    )
+    licenses = _frame(
+        ["index", "license", "equivalentClasses", "indices_license"],
+        [
+            ("1", "CC BY 4.0", None, None),
+            ("2", "CC BY-SA 4.0", None, "1"),
+        ],
+    )
+    references = _frame(
+        ["index", "title", "link", "entry_date", "authors", "year", "PubMedID"],
+        [
+            ("1", "DSM-5", "https://dsm.example.org ", None, "APA", "2013", None),
+            ("2", "Wearables & mood: a review", None, "2021-07-08",
+             "Chan A, Diaz B", "2021", "67890"),
+        ],
+    )
+    return {
+        "Classes": _classes_frame(),
+        "Properties": _properties_frame(),
+        "guide_types": guide_types,
+        "guides": guides,
+        "treatments": treatments,
+        "medications": medications,
+        "project_types": project_types,
+        "projects": projects,
+        "groups": groups,
+        "references": references,
+        "people": people,
+        "languages": languages,
+        "licenses": licenses,
+    }
+
+
 def spark_tables(
     spark: SparkSession, frames: dict[str, pd.DataFrame]
 ) -> dict:

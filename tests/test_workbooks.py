@@ -130,6 +130,50 @@ def test_disorders_matches_reference(spark, reference_ingest):
     assert_equal_sets(got, want)
 
 
+def test_resources_matches_reference(spark, reference_ingest):
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.resources import resources_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import (
+        resources_frames,
+        spark_tables,
+    )
+
+    frames = resources_frames()
+    xls = FakeXls(frames)
+    want = golden_set(
+        reference_ingest.ingest_resources(xls, xls, xls, statements={})
+    )
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(resources_triples(tables))
+    got = {(r.subject, r.predicate, r.object) for r in t.collect()}
+    assert_equal_sets(got, want)
+
+
+def test_resources_license_intent(spark):
+    """The reference's index_license branch is dead (NameError 'shared',
+    ingest.py:1312); our plan implements the licenses-sheet lookup it
+    plainly intended.  Covered here since the parity fixture must keep
+    the column empty for the reference to run."""
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.resources import resources_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import (
+        resources_frames,
+        spark_tables,
+    )
+
+    frames = resources_frames()
+    frames["guides"] = frames["guides"].copy()
+    frames["guides"].loc[0, "index_license"] = 2
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(resources_triples(tables))
+    lic = [
+        (r.subject, r.object)
+        for r in t.filter(t.predicate == ":hasLicense").collect()
+    ]
+    assert len(lic) == 1, f"expected one license triple, got {lic}"
+    assert lic[0][1] != "", lic
+
+
 def test_measures_matches_reference(spark, reference_ingest):
     from mhdb_tables2turtles_spark.plans.measures import MEASURES_SPECS
     from mhdb_tables2turtles_spark.sources.workbooks import measures_frames
