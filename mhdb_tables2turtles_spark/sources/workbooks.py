@@ -366,6 +366,122 @@ def resources_frames() -> dict[str, pd.DataFrame]:
     }
 
 
+def assessments_frames() -> dict[str, pd.DataFrame]:
+    """assessments workbook (ingest.py:1834-2703 sheet shapes).
+
+    Questions are contiguous per questionnaire (the W1 numbering
+    contract); response options exercise both tokenizers (plain commas
+    and the quoted ``N="..."`` form) plus the dash-strip/newline
+    normalization.  ``task_assertions_indices`` avoids ASSERTS rows (the
+    reference's stale-predicate bug path — see plans/assessments
+    docstring) and includes an unresolvable endNode and an unmapped
+    reln_type as negative cases.
+    """
+    questionnaires = _frame(
+        ["index", "title", "abbreviation", "description", "link", "authors",
+         "year", "use_with_assessments", "number_of_questions",
+         "minutes_to_complete", "age_min", "age_max", "indices_respondent",
+         "indices_subject", "indices_reference", "index_license",
+         "indices_language"],
+        [
+            ("1", "Mood Survey", "MS", "measures  mood",
+             "https://ms.example.org ", "Smith J", "2010", None, "2", "5",
+             "8", "99", None, None, None, None, None),
+            ("2", "Energy Scale", None, None, None, None, None, "1", "2",
+             None, None, None, None, None, None, None, None),
+        ],
+    )
+    questions = _frame(
+        ["index", "index_questionnaire", "question",
+         "paper_instructions_preamble", "paper_instructions",
+         "digital_instructions_preamble", "digital_instructions",
+         "response_options", "indices_response_type"],
+        [
+            ("1", "1", "How often do you feel sad?",
+             "Read each item", "Circle one option",
+             "Read each item", "Select one option",
+             '0=Never, 1=Sometimes, 2="Often, very often", 3=Always', "1"),
+            ("2", "1", "I have trouble sleeping ", None, None, None, None,
+             "1=Yes, 0=No", "1,2"),
+            ("3", "2", "Rate your energy / vigor", None, None,
+             "Answer honestly", None, "0=Mid,\n1=High---", None),
+            ("4", "2", "Do you exercise?", None, None, None, None, None, "2"),
+        ],
+    )
+    response_types = _frame(
+        ["index", "response_type", "definition", "equivalentClasses"],
+        [
+            ("1", "frequency rating", "how often", None),
+            ("2", "yes/no answer", None, "obo:OBI_0000001"),
+        ],
+    )
+    tasks = _frame(
+        ["index", "name", "description", "aliases", "cogatlas_node_id"],
+        [
+            ("1", "stroop task", "color-word interference", "Stroop, color naming", "101"),
+            ("2", "n-back task", None, None, "102"),
+        ],
+    )
+    task_implementations = _frame(
+        ["index", "implementation", "description", "link", "indices_task",
+         "indices_project", "cogatlas_node_id"],
+        [
+            ("1", "web stroop v2", "browser version",
+             "https://stroop.example.org", "1", "1,2", "201"),
+        ],
+    )
+    task_conditions = _frame(
+        ["index", "condition", "description", "cogatlas_node_id"],
+        [("1", "congruent trials", "matching ink/word", "401")],
+    )
+    task_contrasts = _frame(
+        ["index", "contrast", "cogatlas_node_id"],
+        [("1", "incongruent - congruent", "501")],
+    )
+    task_indicators = _frame(
+        ["index", "indicator", "cogatlas_node_id"],
+        [("1", "reaction time (ms)", "301")],
+    )
+    task_assertions_indices = _frame(
+        ["cogatlas_reln_type", "cogatlas_startNode", "cogatlas_endNode"],
+        [
+            ("KINDOF", "101", "102"),
+            ("HASIMPLEMENTATION", "101", "201"),
+            ("HASCONDITION", "101", "401"),
+            ("HASCONTRAST", "401", "501"),
+            ("HASINDICATOR", "102", "301"),
+            ("MEASUREDBY", "102", "301"),
+            ("HASCITATION", "101", "999"),   # unresolvable endNode
+            ("HASDIFFERENCE", "101", "102"),  # unmapped reln_type
+        ],
+    )
+    references = _frame(
+        ["index", "title", "link", "entry_date", "authors", "pubdate",
+         "PubMedID"],
+        [
+            ("1", "Assessment handbook", "https://handbook.example.org ",
+             "2021-01-15", "Chan A", "2015-05-01", "424242"),
+        ],
+    )
+    return {
+        "Classes": _classes_frame(),
+        "Properties": _properties_frame(),
+        "questionnaires": questionnaires,
+        "questions": questions,
+        "response_types": response_types,
+        "tasks": tasks,
+        "task_implementations": task_implementations,
+        "task_indicators": task_indicators,
+        "task_conditions": task_conditions,
+        "task_contrasts": task_contrasts,
+        "task_assertions_indices": task_assertions_indices,
+        # resources_xls side input: ingest_assessments only reads
+        # projects["index"/"project"] (ingest.py:2416-2420)
+        "projects": resources_frames()["projects"],
+        "references": references,
+    }
+
+
 def spark_tables(
     spark: SparkSession, frames: dict[str, pd.DataFrame]
 ) -> dict:

@@ -174,6 +174,25 @@ def test_resources_license_intent(spark):
     assert lic[0][1] != "", lic
 
 
+def test_assessments_matches_reference(spark, reference_ingest):
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.assessments import assessments_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import (
+        assessments_frames,
+        spark_tables,
+    )
+
+    frames = assessments_frames()
+    xls = FakeXls(frames)
+    want = golden_set(
+        reference_ingest.ingest_assessments(xls, xls, statements={})
+    )
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(assessments_triples(tables))
+    got = {(r.subject, r.predicate, r.object) for r in t.collect()}
+    assert_equal_sets(got, want)
+
+
 def test_measures_matches_reference(spark, reference_ingest):
     from mhdb_tables2turtles_spark.plans.measures import MEASURES_SPECS
     from mhdb_tables2turtles_spark.sources.workbooks import measures_frames
