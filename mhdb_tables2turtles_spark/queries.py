@@ -847,6 +847,16 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
 }
 
+# workbook-plan operator families (compound labels, W1+W2 question chain,
+# SheetSpec emitter coverage) — defined in queries_sheets to keep this
+# module bounded
+from mhdb_tables2turtles_spark.queries_sheets import (  # noqa: E402
+    SHEET_QUERIES,
+    sheet_oracles,
+)
+
+QUERIES.update(SHEET_QUERIES)
+
 
 def oracles() -> dict[str, str]:
     return {
@@ -879,4 +889,5 @@ def oracles() -> dict[str, str]:
         # embed_near_dup: same machinery as embed_ann; rows-only
         "multimodal_sniff": _SQL_SNIFF,
         # multimodal_frames: mapInPandas 1->N — rows-only
+        **sheet_oracles(),
     }
