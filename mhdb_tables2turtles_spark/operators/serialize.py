@@ -101,11 +101,13 @@ def write_body_shards(triples: DataFrame, path: str, shards: int = 0) -> None:
     )
 
 
-def harvest_prefixes(triples: DataFrame) -> list[str]:
-    """Prefix tokens used in any s/p/o: contains ``:``, not ``://``, not a
-    literal (reference: create_mhdb:244-259)."""
+def used_prefixes_df(triples: DataFrame) -> DataFrame:
+    """Distinct prefix tokens used in any s/p/o: contains ``:``, not
+    ``://``, not a literal (reference: create_mhdb:244-259).  Stays a
+    DataFrame so the ontologies-sheet resolution is a join, not a
+    driver-side dict probe."""
     col = F.col("term")
-    rows = (
+    return (
         triples.select(
             F.explode(F.array("subject", "predicate", "object")).alias("term")
         )
@@ -117,9 +119,39 @@ def harvest_prefixes(triples: DataFrame) -> list[str]:
         .select(F.split(col, ":").getItem(0).alias("prefix"))
         .filter(F.length("prefix") > 0)
         .distinct()
+    )
+
+
+def harvest_prefixes(triples: DataFrame) -> list[str]:
+    """Driver-side list form of :func:`used_prefixes_df` (prefix-count
+    sized — tiny)."""
+    return sorted(r.prefix for r in used_prefixes_df(triples).collect())
+
+
+def resolve_prefixes(
+    triples: DataFrame, ontologies: DataFrame
+) -> list[tuple[str, str]]:
+    """Join harvested prefixes against the resources workbook's
+    ``ontologies`` sheet (columns ``prefix``, ``iri``; reference driver:
+    create_mhdb:370-388) -> ordered (prefix, iri) pairs for the header.
+
+    The sheet is ontology-sized -> broadcast; the only scan is the triple
+    stream the prefixes are harvested from."""
+    onto = ontologies.select(
+        F.trim(F.col("prefix")).alias("prefix"),
+        F.trim(F.col("iri")).alias("iri"),
+    ).filter(
+        F.col("prefix").isNotNull()
+        & F.col("iri").isNotNull()
+        & (F.length("prefix") > 0)
+    )
+    rows = (
+        used_prefixes_df(triples)
+        .join(F.broadcast(onto), "prefix")
+        .distinct()
         .collect()
     )
-    return sorted(r.prefix for r in rows)
+    return sorted((r.prefix, r.iri) for r in rows)
 
 
 def render_header(
@@ -154,17 +186,28 @@ def render_document(
     version: str,
     label: str,
     comment: str,
-    prefix_table: dict[str, str] | None = None,
+    prefix_table: "dict[str, str] | DataFrame | None" = None,
 ) -> str:
     """Full Turtle document: header (with harvested prefixes resolved
-    against ``prefix_table``) + body."""
-    known = prefix_table or {}
+    against ``prefix_table``) + body.
+
+    ``prefix_table`` is either the resources workbook's ``ontologies``
+    sheet as a DataFrame (columns ``prefix``/``iri`` — the plan form,
+    resolved via :func:`resolve_prefixes`) or a plain dict."""
     fixed = {p for p, _ in FIXED_PREFIXES} | {""}
-    used = [
-        (p, known[p])
-        for p in harvest_prefixes(triples)
-        if p in known and p not in fixed
-    ]
+    if isinstance(prefix_table, DataFrame):
+        used = [
+            (p, iri)
+            for p, iri in resolve_prefixes(triples, prefix_table)
+            if p not in fixed
+        ]
+    else:
+        known = prefix_table or {}
+        used = [
+            (p, known[p])
+            for p in harvest_prefixes(triples)
+            if p in known and p not in fixed
+        ]
     return render_header(base_uri, version, label, comment, used) + render_body(
         triples
     )

@@ -148,6 +148,80 @@ def minhash_bands(
     )
 
 
+def minhash_bands_np(
+    docs: DataFrame, k: int = 3, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Numpy ``mapInPandas`` twin of :func:`minhash_bands` — identical
+    output rows, different execution strategy.
+
+    Catalyst does not codegen higher-order-function lambdas, so the
+    16-permutation struct-aggregate sweep in :func:`minhash_bands` runs on
+    the interpreted expression evaluator (~68s at sf0.1 in BENCH_r01).
+    Here the same math is one Arrow batch transfer + a (n_hashes x
+    n_shingles) int64 matrix min per document: md5 once per shingle
+    (hashlib, C speed), all permutations in one numpy broadcast.  Fully
+    row-local — zero shuffle, same as the column version.
+
+    Products stay inside int64: a, b, h < P = 2^31-1, so a*h + b < 2^62.
+    """
+    import numpy as np
+
+    consts = minhash_perm_constants(n_hashes)
+    a_vec = np.array([c[0] for c in consts], dtype=np.int64).reshape(-1, 1)
+    b_vec = np.array([c[1] for c in consts], dtype=np.int64).reshape(-1, 1)
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        # exact twin of ops.common.norm_text: lower -> trim (ASCII space,
+        # like Spark's trim) -> collapse Java-\s runs to one space
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, band_ids, band_hashes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = ws.sub(" ", ("" if text is None else str(text)).lower().strip(" "))
+                toks = t.split(" ")
+                n = len(toks) - (k - 1)
+                if n < 1:
+                    continue  # minhash_bands filters n_shingles == 0 too
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                " ".join(toks[i : i + k]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % MINHASH_P
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                sig = ((a_vec * hs + b_vec) % MINHASH_P).min(axis=1)
+                for b in range(bands):
+                    chunk = sig[b * r : (b + 1) * r]
+                    ids.append(doc_id)
+                    band_ids.append(b)
+                    band_hashes.append(
+                        hashlib.md5(
+                            "|".join(str(int(v)) for v in chunk).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "band_id": band_ids, "band_hash": band_hashes}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, band_id int, band_hash string"
+    )
+
+
 def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
     Self-join keys are (band_id, band_hash) — uniform hashes, no skew."""

@@ -517,7 +517,10 @@ _SQL_DEDUP_EXACT = f"""
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return dedup.minhash_bands(_read_spread(spark, sf_dir, "documents"))
+    # numpy mapInPandas twin: bit-identical to the HOF column version
+    # (test_ops locks the equivalence) and ~8x faster — Catalyst cannot
+    # codegen HOF lambdas, so the 16-permutation sweep was interpreted
+    return dedup.minhash_bands_np(_read_spread(spark, sf_dir, "documents"))
 
 
 def _sql_minhash() -> str:
@@ -551,7 +554,7 @@ _SQL_MINHASH = _sql_minhash()
 def q_dedup_minhash_pairs(spark, sf_dir):
     # materialize signatures once: the bucket self-join references the
     # bands plan twice, and Spark re-executes unreferenced subplans
-    bands = dedup.minhash_bands(
+    bands = dedup.minhash_bands_np(
         _read_spread(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)
     return dedup.lsh_candidate_pairs(bands)
@@ -588,7 +591,7 @@ def q_jaccard_pairs(spark, sf_dir):
     docs = _read_spread(spark, sf_dir, "documents")
     # one evaluation of the signature plan (referenced 2x by the bucket
     # self-join) and one of the candidate pairs (referenced by 2 joins)
-    bands = dedup.minhash_bands(docs).localCheckpoint(eager=False)
+    bands = dedup.minhash_bands_np(docs).localCheckpoint(eager=False)
     pairs = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=False)
     j = dedup.jaccard_pairs(docs, pairs)
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -787,6 +790,27 @@ def q_embed_near_dup(spark, sf_dir):
     )
 
 
+def _sql_near_dup(tau: float = 0.35, n_planes: int = 4, n_tables: int = 4) -> str:
+    """Mirror of similarity.embedding_near_duplicates: identical
+    md5-derived plane matrix, bucket-collision candidate pairs, exact
+    cosine with the same rounding."""
+    buckets = _sql_lsh_buckets(n_planes=n_planes, n_tables=n_tables)
+    return f"""
+    with buckets as ({buckets}),
+    pairs as (select distinct a.vec_id as vec_a, b.vec_id as vec_b
+              from buckets a join buckets b using (table_id, bucket)
+              where a.vec_id < b.vec_id),
+    s as (select p.vec_a, p.vec_b,
+                 round(list_dot_product(ea.embedding::double[], eb.embedding::double[]) /
+                       (sqrt(list_dot_product(ea.embedding::double[], ea.embedding::double[])) *
+                        sqrt(list_dot_product(eb.embedding::double[], eb.embedding::double[]))), 6) as cos
+          from pairs p
+          join embeddings ea on p.vec_a = ea.vec_id
+          join embeddings eb on p.vec_b = eb.vec_id)
+    select vec_a, vec_b, cos from s where cos >= {tau}
+"""
+
+
 # ----------------------------------------------------- multimodal ops
 
 
@@ -808,9 +832,35 @@ _SQL_SNIFF = """
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling plumbing (mapInPandas 1->N; rows-only check)."""
+    """Frame-sampling plumbing (mapInPandas 1->N)."""
     media = multimodal.media_from_documents(_read_spread(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)
+
+
+# frame checksums are byte arithmetic over hex(payload): one 64-byte
+# window sum per sampled offset — expressible, so the frames query gets a
+# full value oracle instead of the rows-only check
+_SQL_FRAMES = """
+    with m as (
+        select doc_id as media_id,
+               (case doc_id % 4 when 0 then '89504E47'
+                                when 1 then 'FFD8FF'
+                                when 2 then '52494646'
+                                else '1A45DFA3' end) || hex(encode(text)) as h
+        from documents
+    ),
+    n as (select media_id, h, length(h) // 2 as nb from m),
+    f as (
+        select media_id, (i - 1) * 64 as frame_offset,
+               (list_sum(list_transform(
+                   generate_series((i - 1) * 64, least((i - 1) * 64 + 63, nb - 1)),
+                   j -> ('0x'||substring(h, 2 * j + 1, 2))::bigint)) % 256) as chk
+        from n, unnest(generate_series(1, (nb + 63) // 64)) u(i)
+    )
+    select media_id, frame_offset::bigint as frame_offset,
+           chk::int as frame_checksum
+    from f
+"""
 
 
 # --------------------------------------------------------- the catalog
@@ -886,8 +936,8 @@ def oracles() -> dict[str, str]:
         "embed_topk": _SQL_TOPK,
         "embed_lsh_buckets": _sql_lsh_buckets(),
         "embed_ann": _sql_ann(),
-        # embed_near_dup: same machinery as embed_ann; rows-only
+        "embed_near_dup": _sql_near_dup(),
         "multimodal_sniff": _SQL_SNIFF,
-        # multimodal_frames: mapInPandas 1->N — rows-only
+        "multimodal_frames": _SQL_FRAMES,
         **sheet_oracles(),
     }

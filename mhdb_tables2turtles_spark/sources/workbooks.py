@@ -349,9 +349,22 @@ def resources_frames() -> dict[str, pd.DataFrame]:
              "Chan A, Diaz B", "2021", "67890"),
         ],
     )
+    # ontologies sheet: the prefix table the reference driver joins the
+    # harvested header prefixes against (create_mhdb:370-388); not read
+    # by ingest_resources itself, so it is invisible to the parity test
+    ontologies = _frame(
+        ["index", "prefix", "iri", "import"],
+        [
+            ("1", "obo", "http://purl.obolibrary.org/obo/", None),
+            ("2", "sio", "http://semanticscience.org/resource/", None),
+            ("3", "qudt", "http://qudt.org/schema/qudt#", None),
+            ("4", "unused", "http://example.org/never-used#", None),
+        ],
+    )
     return {
         "Classes": _classes_frame(),
         "Properties": _properties_frame(),
+        "ontologies": ontologies,
         "guide_types": guide_types,
         "guides": guides,
         "treatments": treatments,

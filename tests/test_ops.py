@@ -55,6 +55,14 @@ def test_exact_duplicates_none_in_fixture(spark, docs):
     assert groups.agg(F.max("dup_count")).first()[0] == 2
 
 
+def test_minhash_np_twin_identical(spark, docs):
+    """The numpy mapInPandas variant (the bench path) must stay
+    bit-identical to the HOF column version (the spec)."""
+    a = {tuple(r) for r in dedup.minhash_bands(docs).collect()}
+    b = {tuple(r) for r in dedup.minhash_bands_np(docs).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_minhash_matches_duckdb(spark, docs):
     from mhdb_tables2turtles_spark.queries import _sql_minhash
 

@@ -174,6 +174,34 @@ def test_resources_license_intent(spark):
     assert lic[0][1] != "", lic
 
 
+def test_ontologies_prefix_table_plan(spark):
+    """S5 second half: the header's ontology PREFIX lines come from the
+    resources workbook's ontologies sheet via a broadcast join against
+    the harvested used-prefix set — not a caller-supplied dict."""
+    from mhdb_tables2turtles_spark.operators.serialize import render_document
+    from mhdb_tables2turtles_spark.operators.triples import dedup_triples
+    from mhdb_tables2turtles_spark.plans.resources import resources_triples
+    from mhdb_tables2turtles_spark.sources.workbooks import (
+        resources_frames,
+        spark_tables,
+    )
+
+    frames = resources_frames()
+    tables = spark_tables(spark, frames)
+    t = dedup_triples(resources_triples(tables))
+    doc = render_document(
+        t, "http://www.purl.org/mentalhealth/resources", "1.0.0",
+        "resources", "resources workbook", prefix_table=tables["ontologies"],
+    )
+    header = doc.split("owl:Ontology")[0]
+    # obo: used by equivalentClasses cells -> resolved from the sheet
+    assert "PREFIX obo: <http://purl.obolibrary.org/obo/>" in header
+    # declared in the sheet but never used in a triple -> absent
+    assert "unused" not in header
+    # fixed prefixes still present exactly once
+    assert header.count("PREFIX owl:") == 1
+
+
 def test_assessments_matches_reference(spark, reference_ingest):
     from mhdb_tables2turtles_spark.operators.triples import dedup_triples
     from mhdb_tables2turtles_spark.plans.assessments import assessments_triples
