@@ -60,6 +60,9 @@ BENCH_QUERIES = (
     "embed_topk",
     "embed_ann",
     "multimodal_sniff",
+    # round-2 workbook-operator families
+    "sheet_disorder_compound",
+    "assessment_questions",
 )
 
 

@@ -249,8 +249,20 @@ def jaccard_pairs(
     arrays (~5-10x smaller at web scale).  Jaccard over the distinct
     hashed sets equals Jaccard over the distinct string sets modulo
     60-bit collisions, and the DuckDB oracle applies the identical hash,
-    so verified values match by construction."""
-    sh = docs.select(
+    so verified values match by construction.
+
+    Only documents that actually appear in a candidate pair are shingled:
+    the semi-join prune runs before the expensive
+    tokenize+shingle+md5 projection, so verification cost is
+    O(candidate docs), not O(corpus) — at dedup ratios the candidate set
+    is orders of magnitude smaller than the corpus (AQE turns the prune
+    into a broadcast join when the id set is small)."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(
             F.transform(shingles(tokens(F.col("text")), k), lambda s: hash60(s))
