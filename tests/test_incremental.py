@@ -80,3 +80,59 @@ def test_incremental_stage_rewrite_is_idempotent(spark, tmp_path):
     out = p2.incremental_stage("m", pages, "batch", fn)
     assert out.count() == n
     assert p2.manifest("m")["done_partitions"] == [0, 1, 2, 3]
+
+
+def test_incremental_stage_empty_first_write_readable(spark, tmp_path):
+    """A first run whose transform yields ZERO rows must still commit a
+    readable stage (schema recorded in the manifest): previously the
+    empty partitioned directory broke the immediate read-back with
+    'unable to infer schema'."""
+    pages = _with_batches(build_corpus(spark, 10, seed=15, partitions=2)).cache()
+
+    def empty_fn(batch_pages):
+        m = scan_mentions(batch_pages.select("url", "text"), ("zz_nonexistent",))
+        return m.join(batch_pages.select("url", "batch"), "url")
+
+    wd = str(tmp_path / "inc3")
+    p1 = StagedPipeline(spark, wd)
+    out = p1.incremental_stage("m", pages, "batch", empty_fn)
+    assert out.count() == 0
+    assert "batch" in out.columns and "surface" in out.columns
+    # resume run also reads the committed empty stage fine
+    p2 = StagedPipeline(spark, wd)
+    out2 = p2.incremental_stage("m", pages, "batch", empty_fn)
+    assert p2.log == ["resume:m"] and out2.count() == 0
+
+
+def test_incremental_stage_null_partition_keys(spark, tmp_path):
+    """Rows with a NULL partition key are processed (once), not silently
+    dropped by the ~isin(done) resume filter."""
+    pages = (
+        _with_batches(build_corpus(spark, 20, seed=16, partitions=2))
+        # a third of pages lose their batch id (e.g. unparsable WARC meta)
+        .withColumn(
+            "batch",
+            F.when(F.pmod(F.xxhash64("url"), F.lit(3)) == 0, None).otherwise(
+                F.col("batch")
+            ),
+        )
+        .cache()
+    )
+    n_null = pages.filter(F.col("batch").isNull()).count()
+    assert n_null > 0
+
+    def fn(batch_pages):
+        return batch_pages.select("url", "batch")
+
+    wd = str(tmp_path / "inc4")
+    p1 = StagedPipeline(spark, wd)
+    out = p1.incremental_stage("m", pages, "batch", fn)
+    assert out.count() == pages.count()
+    assert out.filter(F.col("batch").isNull()).count() == n_null
+    assert p1.manifest("m")["null_partition_done"] is True
+
+    # resume: nothing recomputed, null rows still present exactly once
+    p2 = StagedPipeline(spark, wd)
+    out2 = p2.incremental_stage("m", pages, "batch", fn)
+    assert p2.log == ["resume:m"]
+    assert out2.filter(F.col("batch").isNull()).count() == n_null
