@@ -147,6 +147,9 @@ def q_assessment_questions(spark, sf_dir) -> DataFrame:
                 F.col("event_id") % 2 == 0, F.lit("0=Never, 1=Sometimes")
             ).otherwise(F.lit('1="Very often", 2=Rarely')),
         )
+        # six union branches read this subplan; without materialization
+        # Spark re-executes the window per branch
+        .localCheckpoint(eager=False)
     )
     opts = q.select(
         "subject",
@@ -157,7 +160,9 @@ def q_assessment_questions(spark, sf_dir) -> DataFrame:
                 F.regexp_extract_all("ro", F.lit(_QUOTED_OPT), 0),
             ).otherwise(F.split("ro", ","))
         ).alias("pos", "opt"),
-    ).withColumn("resp", F.trim(F.split("opt", "=").getItem(1)))
+    ).withColumn(
+        "resp", F.trim(F.split("opt", "=").getItem(1))
+    ).localCheckpoint(eager=False)  # read by 2 branches
     resp_iri = udfs.iri(F.col("resp"), "delimited")
 
     def tri(df, s, p, o):
