@@ -324,6 +324,48 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return with_votes.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_np(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Numpy ``mapInPandas`` twin of :func:`simhash` — identical rows
+    (integer math throughout, so equality is exact, not approximate).
+
+    Same rationale as :func:`minhash_bands_np`: the per-bit vote sweep is
+    a HOF aggregate Catalyst can only interpret; here it is one
+    (n_tokens x bits) sign matrix per document."""
+    import numpy as np
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = ws.sub(" ", ("" if text is None else str(text)).lower().strip(" "))
+                toks = t.split(" ")
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                        for tok in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                votes = (((hs[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                sim = int(((votes > 0).astype(np.int64) << shifts).sum())
+                ids.append(doc_id)
+                sims.append(sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, simhash long"
+    )
+
+
 def simhash_duplicates(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Groups of documents sharing an identical simhash (hamming-0
     near-dup buckets): (simhash, dup_count, keep_doc_id)."""

@@ -27,6 +27,7 @@ __all__ = [
     "plane_matrix",
     "topk_bruteforce",
     "lsh_buckets",
+    "lsh_buckets_np",
     "topk_lsh",
     "embedding_near_duplicates",
 ]
@@ -137,6 +138,63 @@ def lsh_buckets(
     ).select("vec_id", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
 
 
+def lsh_buckets_np(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Numpy ``mapInPandas`` twin of :func:`lsh_buckets` (the bench/scale
+    path): one (batch x planes) matmul instead of ``n_planes x n_tables``
+    interpreted HOF folds per row.
+
+    Exactness note: per-element products are identical (float32 widens to
+    float64 exactly, same as the column version's cast-then-multiply);
+    only the summation ORDER differs (numpy pairwise vs the fold's
+    left-to-right), so a bucket bit could in principle differ when a
+    projection sits within ~1 ulp of zero — probability ~1e-15 per
+    projection with O(1)-magnitude projections.  The equality test locks
+    the fixture; the DuckDB oracle carries the same (accepted) tolerance.
+    """
+    import numpy as np
+
+    w_mat = np.array(plane_matrix(n_planes * n_tables, dim), dtype=np.float64)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "table_id": [], "bucket": []}
+                )
+                continue
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            bits = (emb @ w_mat.T > 0).astype(np.int64)  # (n, planes*tables)
+            vec_ids = pdf["vec_id"].to_numpy()
+            ids, tabs, bucks = [], [], []
+            for t in range(n_tables):
+                chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+                ids.append(vec_ids)
+                tabs.append(np.full(n, t, dtype=np.int32))
+                bucks.append((chunk << shifts).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(ids),
+                    "table_id": np.concatenate(tabs),
+                    "bucket": np.concatenate(bucks),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, table_id int, bucket long"
+    )
+
+
 def topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -149,7 +207,7 @@ def topk_lsh(
     ``n_tables`` LSH tables, ranked by exact cosine.  Recall compounds
     across tables (1-(1-p^m)^L); each bucket join keys on
     (table_id, bucket) — uniform by construction."""
-    b_all = lsh_buckets(embeddings, n_planes, dim, n_tables)
+    b_all = lsh_buckets_np(embeddings, n_planes, dim, n_tables)
     e = embeddings.join(b_all, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         _emb_double(F.col("embedding")).alias("emb_n"),
@@ -191,7 +249,7 @@ def embedding_near_duplicates(
     sharing a bucket in any table — embedding-space near-dedup.  High tau
     pairs almost always collide (p = (1 - theta/pi)^m per table), so few
     tables suffice."""
-    b = lsh_buckets(embeddings, n_planes, dim, n_tables)
+    b = lsh_buckets_np(embeddings, n_planes, dim, n_tables)
     e = embeddings.join(b, "vec_id").select(
         "vec_id",
         _emb_double(F.col("embedding")).alias("emb"),

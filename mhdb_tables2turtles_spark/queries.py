@@ -569,7 +569,8 @@ _SQL_MINHASH_PAIRS = f"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash(_read_spread(spark, sf_dir, "documents"))
+    # numpy twin (exact — integer math): see q_dedup_minhash
+    return dedup.simhash_np(_read_spread(spark, sf_dir, "documents"))
 
 
 def _sql_simhash() -> str:

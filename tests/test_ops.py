@@ -63,6 +63,23 @@ def test_minhash_np_twin_identical(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_simhash_np_twin_identical(spark, docs):
+    """Integer math — the numpy variant must be exactly the HOF column
+    version."""
+    a = {tuple(r) for r in dedup.simhash(docs).collect()}
+    b = {tuple(r) for r in dedup.simhash_np(docs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_lsh_buckets_np_twin_identical(spark, embeddings):
+    """Bucket bits agree between the matmul twin and the fold column
+    version (summation-order fp tolerance is ~1e-15 per projection; any
+    realized difference fails here first)."""
+    a = {tuple(r) for r in similarity.lsh_buckets(embeddings, 4, 64, 8).collect()}
+    b = {tuple(r) for r in similarity.lsh_buckets_np(embeddings, 4, 64, 8).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_minhash_matches_duckdb(spark, docs):
     from mhdb_tables2turtles_spark.queries import _sql_minhash
 
