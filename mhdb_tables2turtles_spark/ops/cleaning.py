@@ -1,0 +1,175 @@
+"""Corpus-cleaning operators for the training-data pipeline: PII
+detection/redaction, Gopher-style repetition signals, cross-corpus
+segment (boilerplate) dedup, and host/source-level crawl stats.
+
+Design rules shared with :mod:`ops.text`:
+
+* pure built-in column expressions (JVM-side, whole-stage codegen) — no
+  Python in the hot path;
+* deterministic arithmetic only (integer sums / longs before any
+  division, then one final ``round``), so the DuckDB oracle reproduces
+  every value bit-for-bit;
+* regexes restricted to the Java∩RE2 common subset (no backrefs, no
+  lookaround) so Spark and DuckDB match identically.
+
+Scale notes per operator are in each docstring; none of these ships
+document text through a shuffle — repetition/segment stats shuffle only
+``(key, count)`` pairs keyed by uniform hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops.common import (
+    hash60,
+    norm_text,
+    shingles,
+    tokens,
+)
+
+__all__ = [
+    "PII_PATTERNS",
+    "pii_scan",
+    "repetition_stats",
+    "segment_dedup",
+    "host_stats",
+]
+
+# Ordered (name, pattern, replacement): redaction applies in this order,
+# and the SQL oracle must apply the same order (a phone redacted first
+# could otherwise expose digits to the IPv4 pattern).  Java∩RE2 subset:
+# character classes, bounded repeats, and ASCII \b only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_phone, n_ipv4, redacted): per-document PII
+    match counts plus the text with every match replaced by a typed
+    placeholder.
+
+    Row-local, zero shuffle, codegen'd ``regexp_extract_all`` /
+    ``regexp_replace`` — at 100 TB this is a pure map stage that fuses
+    into the scan.  Counts are measured on the ORIGINAL text; redaction
+    applies the patterns in :data:`PII_PATTERNS` order so overlapping
+    matches resolve deterministically.
+    """
+    col = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = col
+    for _, pat, rep in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: (doc_id, n_bigrams,
+    top_bigram_frac, dup_bigram_frac).
+
+    ``top_bigram_frac`` = share of the most frequent word 2-gram;
+    ``dup_bigram_frac`` = share of 2-gram occurrences whose 2-gram
+    appears more than once.  High values flag boilerplate/spam pages
+    (the reference corpus filters of Gopher/C4 use exactly these).
+
+    Scale: explode shuffles only ``(doc_id, gram)`` pairs — the grouping
+    key includes ``doc_id`` so hot grams don't skew a single reducer,
+    and partial aggregation collapses repeats map-side.  Docs shorter
+    than 2 tokens have no bigrams and drop out (same in the oracle).
+    Ratios divide two exact longs, then round once — deterministic.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        F.round(F.max("c") / n, 4).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / n, 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def segment_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Cross-corpus boilerplate detection (CCNet-style line dedup, over
+    k-token segments because the corpus has no line structure):
+    (doc_id, n_segments, n_dup_segments, dup_ratio).
+
+    A *segment* is a non-overlapping k-token chunk; a segment is *dup*
+    when its 60-bit hash occurs in ≥ 2 distinct documents corpus-wide.
+
+    Scale: text never shuffles — only 8-byte segment hashes.  Two
+    shuffles: (1) group by segment hash (uniform md5 keys, no skew) to
+    count distinct docs, (2) group back by doc_id.  Both carry
+    ``(long, long)`` rows; at 10^12 docs this is the same shape as the
+    exact-dedup operator (`ops/dedup.py`), which is the scale-proven
+    pattern.
+    """
+    toks = tokens(F.col("text"))
+    nseg = F.floor(F.size(toks) / k).cast("int")
+    seg_hashes = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: hash60(
+                F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    segs = docs.select("doc_id", F.explode(seg_hashes).alias("seg_hash"))
+    global_counts = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        segs.join(global_counts, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+            ).alias("n_dup_segments"),
+            F.round(
+                F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def host_stats(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """Host/source-level crawl aggregates for prioritization and
+    host-level filtering: (host, n_docs, n_unique_texts, dup_ratio,
+    avg_tokens).
+
+    ``dup_ratio`` = 1 − distinct-normalized-content / docs (a host
+    serving the same page under many URLs scores high and gets
+    down-prioritized).  One shuffle keyed by host; content rides as an
+    8-byte hash.  At crawl scale a handful of mega-hosts can skew —
+    the distinct-count is the skew-prone part, and Spark's partial
+    distinct aggregation (AQE skew split) handles it without salting
+    because the per-host value space is already hashed.
+    """
+    h = F.col(host_col)
+    per_doc = docs.select(
+        h.alias("host"),
+        hash60(norm_text(F.col("text"))).alias("content_hash"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    n = F.count("*")
+    uniq = F.count_distinct("content_hash")
+    return per_doc.groupBy("host").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_unique_texts"),
+        F.round(1 - uniq / n, 4).alias("dup_ratio"),
+        F.round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
+    )

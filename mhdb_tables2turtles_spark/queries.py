@@ -908,6 +908,15 @@ from mhdb_tables2turtles_spark.queries_sheets import (  # noqa: E402
 
 QUERIES.update(SHEET_QUERIES)
 
+# corpus-cleaning operator family (PII, repetition, segment dedup, host
+# stats) — defined in queries_cleaning
+from mhdb_tables2turtles_spark.queries_cleaning import (  # noqa: E402
+    CLEANING_QUERIES,
+    cleaning_oracles,
+)
+
+QUERIES.update(CLEANING_QUERIES)
+
 
 def oracles() -> dict[str, str]:
     return {
@@ -941,4 +950,5 @@ def oracles() -> dict[str, str]:
         "multimodal_sniff": _SQL_SNIFF,
         "multimodal_frames": _SQL_FRAMES,
         **sheet_oracles(),
+        **cleaning_oracles(),
     }

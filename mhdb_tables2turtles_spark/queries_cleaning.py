@@ -1,0 +1,202 @@
+"""Driver oracle queries for the corpus-cleaning operator family
+(:mod:`ops.cleaning`): PII scan/redaction, repetition signals,
+cross-corpus segment dedup, host-level crawl stats.
+
+The synthetic ``documents`` text contains no natural PII, so the PII
+query first decorates the text with deterministic doc_id-derived
+email/phone/IP strings — identically in Spark and in the oracle SQL —
+then runs the REAL :func:`ops.cleaning.pii_scan` operator on the
+decorated column.  (Same device as the multimodal deterministic-fake
+twin: the operator is generic; the fixture is self-contained.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops import cleaning
+
+__all__ = ["CLEANING_QUERIES", "cleaning_oracles"]
+
+# SQL mirrors of ops.common (kept local to avoid an import cycle)
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_hash60(x: str) -> str:
+    return f"('0x'||substr(md5({x}),1,15))::BIGINT"
+
+
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+# ------------------------------------------------------------- text_pii
+
+# deterministic PII decoration, expressed once per engine
+_SQL_DECORATE = (
+    "text"
+    " || case when doc_id % 3 = 0 then"
+    " ' contact user'||doc_id||'@example.com now' else '' end"
+    " || case when doc_id % 5 = 0 then"
+    " ' call 555-123-4'||lpad((doc_id % 1000)::varchar, 3, '0')||' ok'"
+    " else '' end"
+    " || case when doc_id % 7 = 0 then"
+    " ' from 10.0.'||(doc_id % 256)||'.'||(doc_id % 100)||' up' else '' end"
+)
+
+
+def _decorated(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    decorated = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call 555-123-4"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit(" ok"),
+            ),
+        ).otherwise(""),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+                F.lit(" up"),
+            ),
+        ).otherwise(""),
+    )
+    return docs.select("doc_id", decorated.alias("text"))
+
+
+def q_text_pii(spark, sf_dir):
+    """PII detection + redaction (ops/cleaning.py::pii_scan) over
+    deterministically decorated text."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return cleaning.pii_scan(_decorated(docs))
+
+
+def _sql_pii() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) as n_{name}"
+        for name, pat, _ in cleaning.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, rep in cleaning.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{rep}', 'g')"
+    return f"""
+        with d as (select doc_id, {_SQL_DECORATE} as text from documents)
+        select doc_id, {counts}, {redacted} as redacted from d
+    """
+
+
+# ------------------------------------------------------ text_repetition
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style bigram repetition signals
+    (ops/cleaning.py::repetition_stats)."""
+    return cleaning.repetition_stats(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_REPETITION = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    g as (select doc_id, unnest(list_transform(
+              generate_series(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]
+          )) as gram from t),
+    c as (select doc_id, gram, count(*) as c from g group by 1, 2)
+    select doc_id,
+           sum(c) as n_bigrams,
+           round(max(c) / sum(c), 4) as top_bigram_frac,
+           round(sum(case when c > 1 then c else 0 end) / sum(c), 4)
+               as dup_bigram_frac
+    from c group by doc_id
+"""
+
+
+# ------------------------------------------------------- segment_dedup
+
+_SEG_K = 10
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Cross-corpus boilerplate segment dedup
+    (ops/cleaning.py::segment_dedup, k=10)."""
+    return cleaning.segment_dedup(
+        _read_spread(spark, sf_dir, "documents"), k=_SEG_K
+    )
+
+
+_SQL_SEGMENT_DEDUP = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    s as (select doc_id, unnest(list_transform(
+              generate_series(1, len(ts) // {_SEG_K}),
+              i -> {_sql_hash60(
+                  f"array_to_string(ts[(i-1)*{_SEG_K}+1 : (i-1)*{_SEG_K}+{_SEG_K}], ' ')"
+              )}
+          )) as seg_hash from t),
+    gc as (select seg_hash, count(distinct doc_id) as n_docs_with
+           from s group by seg_hash)
+    select doc_id,
+           count(*) as n_segments,
+           sum(case when n_docs_with > 1 then 1 else 0 end)
+               as n_dup_segments,
+           round(sum(case when n_docs_with > 1 then 1 else 0 end)
+                 / count(*), 4) as dup_ratio
+    from s join gc using (seg_hash)
+    group by doc_id
+"""
+
+
+# ---------------------------------------------------------- host_stats
+
+
+def q_host_stats(spark, sf_dir):
+    """Host/source-level crawl aggregates
+    (ops/cleaning.py::host_stats)."""
+    return cleaning.host_stats(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_HOST_STATS = f"""
+    with d as (select source as host,
+                      {_sql_hash60(_NORM)} as content_hash,
+                      len({_TOKS}) as n_tokens
+               from documents)
+    select host,
+           count(*) as n_docs,
+           count(distinct content_hash) as n_unique_texts,
+           round(1 - count(distinct content_hash) / count(*), 4)
+               as dup_ratio,
+           round(sum(n_tokens) / count(*), 4) as avg_tokens
+    from d group by host
+"""
+
+
+CLEANING_QUERIES = {
+    "text_pii": q_text_pii,
+    "text_repetition": q_text_repetition,
+    "segment_dedup": q_segment_dedup,
+    "host_stats": q_host_stats,
+}
+
+
+def cleaning_oracles() -> dict[str, str]:
+    return {
+        "text_pii": _sql_pii(),
+        "text_repetition": _SQL_REPETITION,
+        "segment_dedup": _SQL_SEGMENT_DEDUP,
+        "host_stats": _SQL_HOST_STATS,
+    }

@@ -1,0 +1,98 @@
+"""Corpus-cleaning ops (ops/cleaning.py): crafted-fixture unit tests.
+
+The driver oracle queries (queries_cleaning.py) prove engine-vs-DuckDB
+value equality at scale; these tests pin the SEMANTICS on hand-written
+rows where the expected answers are computed by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mhdb_tables2turtles_spark.ops import cleaning
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at jo.smith+x@example.co.uk or call 555-123-4567 now"),
+        (2, "server at 10.0.42.7 and 192.168.1.255 no pii otherwise"),
+        (3, "plain text with nothing sensitive at all"),
+        (4, "double alice@a.io bob@b.org and 1.2.3.4"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_counts(pii_docs):
+    got = {r.doc_id: r for r in cleaning.pii_scan(pii_docs).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 0)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 0, 2)
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 0)
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (2, 0, 1)
+
+
+def test_pii_redaction(pii_docs):
+    got = {r.doc_id: r.redacted for r in cleaning.pii_scan(pii_docs).collect()}
+    assert got[1] == "mail me at <EMAIL> or call <PHONE> now"
+    assert got[2] == "server at <IP> and <IP> no pii otherwise"
+    assert got[3] == "plain text with nothing sensitive at all"
+    assert got[4] == "double <EMAIL> <EMAIL> and <IP>"
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a b","b a","a b","b a","a b" -> 5 total,
+            # "a b" x3, "b a" x2 -> top 3/5, dup 5/5
+            (1, "a b a b a b"),
+            # all 4 bigrams distinct
+            (2, "v w x y z"),
+            (3, "one"),  # < 2 tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in cleaning.repetition_stats(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 5
+    assert got[1].top_bigram_frac == pytest.approx(0.6)
+    assert got[1].dup_bigram_frac == pytest.approx(1.0)
+    assert got[2].n_bigrams == 4
+    assert got[2].top_bigram_frac == pytest.approx(0.25)
+    assert got[2].dup_bigram_frac == 0.0
+
+
+def test_segment_dedup(spark):
+    boiler = "the quick brown fox"  # 4-token shared segment
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one x"),  # segs: boiler, tail
+            (2, boiler + " other ending here y"),  # segs: boiler, other
+            (3, "completely different words only here"),
+            (4, "tiny"),  # < k tokens -> no segments -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in cleaning.segment_dedup(docs, k=4).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_segments, got[1].n_dup_segments) == (2, 1)
+    assert got[1].dup_ratio == pytest.approx(0.5)
+    assert (got[2].n_segments, got[2].n_dup_segments) == (2, 1)
+    assert (got[3].n_segments, got[3].n_dup_segments) == (1, 0)
+
+
+def test_host_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same page body", "h1"),
+            (2, "same  PAGE body ", "h1"),  # normalizes equal to doc 1
+            (3, "different body", "h1"),
+            (4, "solo content here", "h2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.host: r for r in cleaning.host_stats(docs).collect()}
+    assert (got["h1"].n_docs, got["h1"].n_unique_texts) == (3, 2)
+    assert got["h1"].dup_ratio == pytest.approx(0.3333)
+    assert (got["h2"].n_docs, got["h2"].n_unique_texts) == (1, 1)
+    assert got["h2"].dup_ratio == 0.0
+    assert got["h2"].avg_tokens == pytest.approx(3.0)
