@@ -917,6 +917,16 @@ from mhdb_tables2turtles_spark.queries_cleaning import (  # noqa: E402
 
 QUERIES.update(CLEANING_QUERIES)
 
+# graph-analytics family (fixed-point PageRank, IVF k-means) — defined
+# in queries_graph; the PageRank oracle reuses this module's co-mention
+# SQL, passed in to avoid an import cycle
+from mhdb_tables2turtles_spark.queries_graph import (  # noqa: E402
+    GRAPH_QUERIES,
+    graph_oracles,
+)
+
+QUERIES.update(GRAPH_QUERIES)
+
 
 def oracles() -> dict[str, str]:
     return {
@@ -951,4 +961,5 @@ def oracles() -> dict[str, str]:
         "multimodal_frames": _SQL_FRAMES,
         **sheet_oracles(),
         **cleaning_oracles(),
+        **graph_oracles(_SQL_KG_COOC),
     }

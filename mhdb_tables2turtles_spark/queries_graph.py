@@ -1,0 +1,138 @@
+"""Driver oracle queries for the graph-analytics operator family:
+fixed-point PageRank over the entity co-mention graph and IVF k-means
+embedding clustering.
+
+Both operators are iterative; both are made oracle-checkable by doing
+every iteration in exact integer arithmetic (see
+:mod:`web.graphrank` / :mod:`ops.ivf`) and unrolling the same fixed
+number of iterations as chained CTEs in the DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops.ivf import MICRO, kmeans_fit_assign
+from mhdb_tables2turtles_spark.web.graphrank import SCALE, pagerank_fixed
+
+__all__ = ["GRAPH_QUERIES", "graph_oracles"]
+
+_PR_ITERS = 5
+_PR_MIN_DOCS = 2
+
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_DIM = 64
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (web/graphrank.py) over co-mention
+    edges with n_docs >= 2."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+
+    edges = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    )
+    return pagerank_fixed(edges, iterations=_PR_ITERS)
+
+
+def _sql_pagerank(cooc_sql: str) -> str:
+    base = (15 * SCALE) // 100
+    parts = [
+        f"""with e0 as (
+            select term_a, term_b from ({cooc_sql}) where n_docs >= {_PR_MIN_DOCS}
+        ),
+        e as (select term_a as u, term_b as v from e0
+              union all select term_b, term_a from e0),
+        deg as (select u, count(*) as d from e group by u),
+        r0 as (select distinct u as node, {SCALE}::bigint as pr from e)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{i} as (
+            select e.v as node,
+                   {base} + sum((85 * r{i-1}.pr) // (100 * deg.d)) as pr
+            from e join r{i-1} on e.u = r{i-1}.node
+                   join deg on deg.u = e.u
+            group by e.v)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect node, pr::bigint as pr from r{_PR_ITERS}"
+    )
+
+
+def q_embed_ivf(spark, sf_dir):
+    """IVF index construction: deterministic integer k-means
+    (ops/ivf.py), final cell assignment per vector."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return kmeans_fit_assign(
+        vecs, k=_IVF_K, iterations=_IVF_ITERS, dim=_IVF_DIM
+    )
+
+
+def _sql_ivf() -> str:
+    """Unrolled Lloyd iterations: quantize -> seeds -> (assign ->
+    update) x iters -> final assign."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))"
+    ).format(dim=_IVF_DIM)
+    assign = """a{n} as (
+        select vec_id, v, cluster, dist2 from (
+            select q.vec_id, q.v, c.cluster, {dist} as dist2,
+                   row_number() over (
+                       partition by q.vec_id order by {dist}, c.cluster
+                   ) as rn
+            from q, c{m} c
+        ) where rn = 1
+    )"""
+    update = """m{n} as (
+        select cluster, i, cast(floor(sum(v[i]) / count(*)) as bigint) as m
+        from a{n}, unnest(generate_series(1, {dim})) u(i)
+        group by cluster, i
+    ),
+    c{n} as (select cluster, list(m order by i) as c from m{n} group by cluster)"""
+
+    parts = [
+        f"""with q as (
+        select vec_id,
+               list_transform(embedding,
+                   x -> cast(round(cast(x as double) * {MICRO}) as bigint)) as v
+        from embeddings
+    ),
+    c0 as (
+        select rn - 1 as cluster, v as c from (
+            select vec_id, v, row_number() over (
+                order by ('0x'||substr(md5(vec_id::varchar),1,15))::bigint,
+                         vec_id
+            ) as rn from q
+        ) where rn <= {_IVF_K}
+    )"""
+    ]
+    for it in range(1, _IVF_ITERS + 1):
+        parts.append(assign.format(n=it, m=it - 1, dist=dist))
+        parts.append(update.format(n=it, dim=_IVF_DIM))
+    parts.append(assign.format(n=_IVF_ITERS + 1, m=_IVF_ITERS, dist=dist))
+    return (
+        ",\n".join(parts)
+        + f"\nselect vec_id, cluster, dist2::bigint as dist2 from a{_IVF_ITERS + 1}"
+    )
+
+
+GRAPH_QUERIES = {
+    "kg_pagerank": q_kg_pagerank,
+    "embed_ivf": q_embed_ivf,
+}
+
+
+def graph_oracles(cooc_sql: str) -> dict[str, str]:
+    return {
+        "kg_pagerank": _sql_pagerank(cooc_sql),
+        "embed_ivf": _sql_ivf(),
+    }

@@ -1,0 +1,67 @@
+"""Entity-importance ranking over the co-mention graph: fixed-iteration
+PageRank in integer fixed-point arithmetic.
+
+Why fixed-point: the driver's oracle hash-compares VALUES.  Float
+PageRank sums contributions in engine-dependent order, so the last bits
+(and after rounding, occasionally the 6th decimal) can differ between
+Spark and DuckDB.  With ranks held in integer micro-units and every
+division an explicit floor, both engines produce bit-identical longs —
+associativity of integer addition makes the shuffle order irrelevant.
+
+Update rule (damping 0.85, graph undirected so every node has degree
+>= 1 and there are no dangling nodes)::
+
+    r0(v)   = SCALE                     (1.0 in micro-units)
+    r_t+1(v) = (15*SCALE) div 100
+             + sum over in-neighbors u of (85 * r_t(u)) div (100 * deg(u))
+
+Scale shape: one broadcast-sized degree table joined once into the
+adjacency list, then each iteration is a single shuffle keyed by the
+destination node (partial aggregation collapses contributions
+map-side).  Hub skew is the classic PageRank hazard; contributions are
+8-byte longs and AQE skew-split handles hot destinations — the same
+posture as `web/canonicalize.py`'s salted CC, which is the heavier op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SCALE", "pagerank_fixed"]
+
+SCALE = 1_000_000
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """(node, pr): integer micro-unit PageRank after ``iterations``
+    synchronous updates over the undirected graph given as distinct
+    ``(src, dst)`` pairs with ``src < dst``.
+
+    ``div`` (Spark's integral division) truncates toward zero; all
+    operands here are positive, so it coincides with DuckDB's floor
+    division ``//`` and the oracle can unroll the same iterations as
+    chained CTEs.
+    """
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = both.groupBy("u").agg(F.count("*").alias("deg"))
+    adj = both.join(deg, "u").cache()
+
+    ranks = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.lit(SCALE).cast("long").alias("pr")
+    )
+    base = (15 * SCALE) // 100
+    for _ in range(iterations):
+        ranks = (
+            adj.join(ranks, adj["u"] == ranks["node"])
+            .select(
+                F.col("v"),
+                F.expr("(85 * pr) div (100 * deg)").alias("contrib"),
+            )
+            .groupBy("v")
+            .agg((F.lit(base) + F.sum("contrib")).alias("pr"))
+            .select(F.col("v").alias("node"), "pr")
+        )
+    return ranks

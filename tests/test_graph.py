@@ -1,0 +1,77 @@
+"""Graph-analytics ops: fixed-point PageRank (web/graphrank.py) and
+IVF k-means (ops/ivf.py) — crafted-fixture semantics tests.  The driver
+oracle queries (queries_graph.py) prove Spark-vs-DuckDB value equality;
+these pin the math on graphs/point sets where the right answer is
+obvious."""
+
+from __future__ import annotations
+
+import pytest
+
+from mhdb_tables2turtles_spark.ops.ivf import kmeans_fit_assign, quantize
+from mhdb_tables2turtles_spark.web.graphrank import SCALE, pagerank_fixed
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # star: hub connected to 4 leaves -> hub rank far above any leaf
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)], ["src", "dst"]
+    )
+    got = {r.node: r.pr for r in pagerank_fixed(edges, iterations=5).collect()}
+    assert set(got) == {"hub", "leaf0", "leaf1", "leaf2", "leaf3"}
+    leaf_ranks = {got[f"leaf{i}"] for i in range(4)}
+    assert len(leaf_ranks) == 1  # symmetry -> identical leaf ranks
+    assert got["hub"] > 2 * got["leaf0"]
+    # total rank stays ~n * SCALE (floor-division bleeds a few micro-units)
+    total = sum(got.values())
+    assert abs(total - 5 * SCALE) < 5 * 100  # < 100 micro-units per node
+
+
+def test_pagerank_symmetric_pair(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r.node: r.pr for r in pagerank_fixed(edges, iterations=3).collect()}
+    assert got["a"] == got["b"] == SCALE  # deg 1 both: fixpoint at SCALE
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    # two tight blobs far apart in 4-d; k=2 must separate them exactly
+    lo = [[0.01 * i, 0.0, 0.0, 0.0] for i in range(5)]
+    hi = [[0.9 + 0.01 * i, 0.9, 0.9, 0.9] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(lo + hi)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit_assign(vecs, k=2, iterations=2, dim=4).collect()
+    }
+    lo_clusters = {got[i] for i in range(5)}
+    hi_clusters = {got[i] for i in range(5, 10)}
+    assert len(lo_clusters) == 1 and len(hi_clusters) == 1
+    assert lo_clusters != hi_clusters
+
+
+def test_quantize_micro_units(spark):
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.0])], ["vec_id", "embedding"]
+    )
+    v = quantize(vecs).first().v
+    assert v == [500000, -250000, 0]
+
+
+def test_kmeans_assignment_deterministic(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_fit_assign(vecs, k=4, iterations=2, dim=8).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_fit_assign(vecs, k=4, iterations=2, dim=8).collect()
+    )
+    assert a == b
+    assert len({c for _, c, _ in a}) > 1  # actually uses multiple cells
