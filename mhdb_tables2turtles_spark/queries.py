@@ -278,6 +278,79 @@ _SQL_W1 = """
 """
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_event_sessions(spark, sf_dir):
+    """Batch twin of the streaming sessionizer
+    (streaming/sessions.py::mention_sessions): gap-based session
+    assignment via lag + running sum, then per-session aggregates.
+
+    All event-time arithmetic in integer microseconds (``unix_micros`` /
+    DuckDB ``epoch_us``) — no float seconds, so the oracle is exact.
+    One shuffle keyed by user_id; sessions never cross keys.
+    """
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: micros via a tz-free diff from the
+    # epoch (unix_micros only accepts TIMESTAMP_LTZ)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr(
+            "timestampdiff(MICROSECOND, min(ts), max(ts))"
+        ).alias("duration_us"),
+    )
+
+
+_SQL_EVENT_SESSIONS = f"""
+    with o as (
+        select user_id, event_id, ts,
+               lag(epoch_us(ts)) over (
+                   partition by user_id order by ts, event_id
+               ) as prev_us
+        from events
+    ),
+    f as (
+        select *, case when prev_us is null
+                        or epoch_us(ts) - prev_us > {_SESSION_GAP_US}
+                   then 1 else 0 end as new_sess
+        from o
+    ),
+    s as (
+        select *, sum(new_sess) over (
+            partition by user_id order by ts, event_id
+            rows unbounded preceding
+        ) as sid
+        from f
+    )
+    select user_id, sid,
+           min(ts) as session_start,
+           max(ts) as session_end,
+           count(*) as n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
+    from s group by user_id, sid
+"""
+
+
 def q_w2_rdf_seq(spark, sf_dir):
     """rdf:Seq membership triples via posexplode (reference W2).
 
@@ -876,6 +949,7 @@ QUERIES = {
     "sheet_nation_triples": q_sheet_nation_triples,
     "w1_running_counter": q_w1_running_counter,
     "w2_rdf_seq": q_w2_rdf_seq,
+    "event_sessions": q_event_sessions,
     "j4_priority_resolve": q_j4_priority_resolve,
     "j5_reln_dispatch": q_j5_reln_dispatch,
     "pricing_summary": q_pricing_summary,
@@ -939,6 +1013,7 @@ def oracles() -> dict[str, str]:
         "sheet_nation_triples": _SQL_NATION,
         "w1_running_counter": _SQL_W1,
         "w2_rdf_seq": _SQL_W2,
+        "event_sessions": _SQL_EVENT_SESSIONS,
         "j4_priority_resolve": _SQL_J4,
         "j5_reln_dispatch": _SQL_J5,
         "pricing_summary": _SQL_Q1,
