@@ -63,6 +63,12 @@ BENCH_QUERIES = (
     # round-2 workbook-operator families
     "sheet_disorder_compound",
     "assessment_questions",
+    # round-2 graph / cleaning / session families
+    "kg_pagerank",
+    "embed_ivf",
+    "text_pii",
+    "segment_dedup",
+    "event_sessions",
 )
 
 
