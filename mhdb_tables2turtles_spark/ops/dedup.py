@@ -32,6 +32,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "simhash_duplicates",
+    "near_dup_clusters",
 ]
 
 
@@ -374,4 +375,43 @@ def simhash_duplicates(docs: DataFrame, bits: int = 16) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame, tau: float = 0.8, k: int = 3
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash bands -> LSH
+    candidate pairs -> exact-Jaccard verification (>= tau) -> connected
+    components -> one canonical document per cluster.
+
+    Returns (doc_id, canonical_id, cluster_size) for every document in a
+    near-dup cluster; the canonical document is the smallest doc_id in
+    its component (the row a scale deduper KEEPS; the others drop).
+
+    This is the full corpus-dedup recipe at CC/C4 scale composed from
+    the already-bucketed pieces: no stage is all-pairs, edges carried
+    into the CC step are only the verified near-dup pairs (a tiny graph
+    relative to the corpus), and component labels propagate via the
+    salted min-label loop in web/canonicalize.py.
+    """
+    from mhdb_tables2turtles_spark.web.canonicalize import (
+        connected_components,
+    )
+
+    bands = minhash_bands_np(docs).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(bands).localCheckpoint(eager=False)
+    edges = (
+        jaccard_pairs(docs, pairs, k=k, threshold=tau)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
     )

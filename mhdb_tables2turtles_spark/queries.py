@@ -687,6 +687,54 @@ _SQL_JACCARD = f"""
 """
 
 
+
+
+_DEDUP_TAU = 0.8
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Full near-dup clustering recipe: LSH candidates -> exact Jaccard
+    >= tau -> connected components -> canonical doc per cluster
+    (ops/dedup.py::near_dup_clusters)."""
+    return dedup.near_dup_clusters(
+        _read_spread(spark, sf_dir, "documents"), tau=_DEDUP_TAU
+    )
+
+
+# unrounded jaccard here (the op thresholds the exact ratio; the
+# rounded value in _SQL_JACCARD is display-only)
+_SQL_DEDUP_CLUSTERS = f"""
+    with recursive toks as (select doc_id, {_TOKS} as ts from documents),
+    sh as (select doc_id,
+                  list_distinct(list_transform(
+                      list_transform(generate_series(1, len(ts)-2),
+                                     i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]),
+                      s -> {_sql_hash60('s')})) as sh
+           from toks),
+    pairs as ({_SQL_MINHASH_PAIRS}),
+    e0 as (
+        select doc_a, doc_b
+        from pairs join sh a on doc_a = a.doc_id
+                   join sh b on doc_b = b.doc_id
+        where len(list_intersect(a.sh, b.sh))::double /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= {_DEDUP_TAU}
+    ),
+    e as (select doc_a as u, doc_b as v from e0
+          union select doc_b, doc_a from e0),
+    nodes as (select distinct u as node from e),
+    reach(node, r) as (
+        select node, node from nodes
+        union
+        select reach.node, e.v from reach join e on reach.r = e.u
+    ),
+    cc as (select node, min(r) as component from reach group by node),
+    sz as (select component, count(*) as cluster_size from cc
+           group by component)
+    select node as doc_id, component as canonical_id, cluster_size
+    from cc join sz using (component)
+"""
+
+
 # ----------------------------------------------------------- text ops
 
 
@@ -960,6 +1008,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -1024,6 +1073,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_pairs": _SQL_MINHASH_PAIRS,
         "dedup_simhash": _sql_simhash(),
         "jaccard_pairs": _SQL_JACCARD,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "text_token_stats": _SQL_TOKEN_STATS,
         "text_quality": _SQL_QUALITY,
         "text_lang_id": _sql_lang_id(),

@@ -206,3 +206,24 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() >= 5
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG....")
+
+
+def test_near_dup_clusters_crafted(spark):
+    # docs 1,2 near-identical; 3 bridges to 2 (transitive cluster);
+    # 10 unrelated -> excluded from output
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " two extra"),
+        (10, "completely different content with no shared shingles at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.canonical_id, r.cluster_size)
+        for r in dedup.near_dup_clusters(docs, tau=0.5).collect()
+    }
+    assert 10 not in got
+    assert set(got) == {1, 2, 3}
+    assert {got[d][0] for d in (1, 2, 3)} == {1}  # canonical = min doc_id
+    assert {got[d][1] for d in (1, 2, 3)} == {3}
