@@ -64,34 +64,51 @@ def seed_centroids(q: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _dist2(v, c):
-    # exact integer squared L2 (sum of 64 products of ~1e6-scale longs
-    # stays far below 2^63)
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def kmeans_assign(q: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, v, cluster, dist2): nearest centroid per vector, ties
+    toward the smaller cluster id.
 
+    ``centroids`` is a driver-side ``[(cluster_id, [int, ...]), ...]``
+    (k x dim longs — tiny by construction; same shape MLlib broadcasts).
+    Shipping it into a vectorized numpy ``mapInPandas`` kernel makes
+    assignment a pure map stage — zero shuffle, no join, one
+    (n x k x d) batched matrix distance per Arrow batch.  (A column-
+    expression twin via ``F.aggregate`` is 10x slower: Catalyst
+    interprets higher-order-function lambdas — same lesson as the
+    MinHash numpy path in ops/dedup.py.)
 
-def kmeans_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cluster, dist2): nearest centroid per vector, ties toward
-    the smaller cluster id.  Broadcast nested loop — k rows replicated,
-    vectors never shuffled."""
-    d = _dist2(F.col("v"), F.col("c"))
-    scored = q.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "cluster",
-        d.alias("dist2"),
+    numpy argmin returns the FIRST minimum, and ``centroids`` is sorted
+    by cluster id, so ties break toward the smaller cluster exactly as
+    the SQL oracle's ``order by dist, cluster`` does."""
+    import numpy as np
+
+    cids = np.asarray([c for c, _ in centroids], dtype="int64")
+    cmat = np.asarray([v for _, v in centroids], dtype="int64")  # k x d
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.asarray(
+                [np.asarray(v, dtype="int64") for v in pdf["v"]]
+            )  # n x d
+            # n x k exact integer squared L2
+            d2 = ((vmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cluster": cids[best],
+                    "dist2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return q.mapInPandas(
+        kernel, schema="vec_id long, v array<long>, cluster long, dist2 long"
     )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist2", "cluster")).alias("b")
-    )
-    return scored.join(best, "vec_id").filter(
-        (F.col("dist2") == F.col("b.dist2"))
-        & (F.col("cluster") == F.col("b.cluster"))
-    ).select("vec_id", "v", "cluster", "dist2")
 
 
 def _update(assigned: DataFrame, dim: int) -> DataFrame:
@@ -109,6 +126,14 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _collect_centroids(df: DataFrame) -> list:
+    """centroid DataFrame -> driver-side list (k x dim longs; the only
+    collect in the op, bounded by the centroid count by construction)."""
+    return sorted(
+        (int(r["cluster"]), [int(x) for x in r["c"]]) for r in df.collect()
+    )
+
+
 def kmeans_fit_assign(
     vecs: DataFrame,
     k: int = 8,
@@ -117,9 +142,16 @@ def kmeans_fit_assign(
     dim: int = 64,
 ) -> DataFrame:
     """Fit ``iterations`` Lloyd rounds from deterministic seeds, then
-    return the final assignment (vec_id, cluster, dist2)."""
+    return the final assignment (vec_id, cluster, dist2).
+
+    Each round = one shuffle (the per-dimension centroid update);
+    assignment itself never shuffles.  At 10^12 vectors: fit on a
+    sample, then run the final ``kmeans_assign`` map stage over the full
+    table with the fitted centroid list."""
     q = quantize(vecs, vec_col).cache()
-    centroids = seed_centroids(q, k)
+    centroids = _collect_centroids(seed_centroids(q, k))
     for _ in range(iterations):
-        centroids = _update(kmeans_assign(q, centroids), dim)
+        centroids = _collect_centroids(
+            _update(kmeans_assign(q, centroids), dim)
+        )
     return kmeans_assign(q, centroids).select("vec_id", "cluster", "dist2")
