@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 from mhdb_tables2turtles_spark.ops.common import hash60
 
-__all__ = ["MICRO", "quantize", "seed_centroids", "kmeans_assign", "kmeans_fit_assign"]
+__all__ = [
+    "MICRO",
+    "quantize",
+    "seed_centroids",
+    "kmeans_assign",
+    "kmeans_fit_assign",
+    "ivf_search",
+]
 
 MICRO = 1_000_000
 
@@ -134,6 +141,19 @@ def _collect_centroids(df: DataFrame) -> list:
     )
 
 
+def kmeans_fit(
+    q: DataFrame, k: int = 8, iterations: int = 2, dim: int = 64
+) -> list:
+    """Run ``iterations`` Lloyd rounds from deterministic seeds over the
+    quantized vectors; returns the fitted driver-side centroid list."""
+    centroids = _collect_centroids(seed_centroids(q, k))
+    for _ in range(iterations):
+        centroids = _collect_centroids(
+            _update(kmeans_assign(q, centroids), dim)
+        )
+    return centroids
+
+
 def kmeans_fit_assign(
     vecs: DataFrame,
     k: int = 8,
@@ -149,9 +169,77 @@ def kmeans_fit_assign(
     sample, then run the final ``kmeans_assign`` map stage over the full
     table with the fitted centroid list."""
     q = quantize(vecs, vec_col).cache()
-    centroids = _collect_centroids(seed_centroids(q, k))
-    for _ in range(iterations):
-        centroids = _collect_centroids(
-            _update(kmeans_assign(q, centroids), dim)
-        )
+    centroids = kmeans_fit(q, k, iterations, dim)
     return kmeans_assign(q, centroids).select("vec_id", "cluster", "dist2")
+
+
+def ivf_search(
+    q: DataFrame,
+    centroids: list,
+    queries: list,
+    probes: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """(q_id, vec_id, dist2, rank): IVF probe search — for each query
+    vector, rerank only the vectors assigned to its ``probes`` nearest
+    cells, exact integer distances, ties toward the smaller vec_id.
+
+    ``queries`` is a driver-side ``[(q_id, [int, ...]), ...]`` (query
+    batches are small by definition; index vectors stay distributed).
+
+    Scale shape: one shuffle-free assignment pass (``kmeans_assign``),
+    one vectorized rerank map stage that scores each vector only against
+    the queries probing its cell, then a top-k shuffle of (q_id, dist2)
+    pairs — candidates only, never the corpus."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    cids = np.asarray([c for c, _ in centroids], dtype="int64")
+    cmat = np.asarray([v for _, v in centroids], dtype="int64")
+    qids = [int(i) for i, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype="int64")  # Q x d
+
+    # probe sets per query, computed on the driver (Q x k tiny)
+    qd = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((cids[None, :].repeat(len(qids), 0), qd), axis=1)
+    probe_sets = {
+        qid: {int(cids[j]) for j in order[i, :probes]}
+        for i, qid in enumerate(qids)
+    }
+
+    assigned = kmeans_assign(q, centroids)
+
+    def rerank(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.asarray(
+                [np.asarray(v, dtype="int64") for v in pdf["v"]]
+            )
+            clusters = pdf["cluster"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for i, qid in enumerate(qids):
+                mask = np.isin(
+                    clusters, np.asarray(sorted(probe_sets[qid]))
+                )
+                if not mask.any():
+                    continue
+                d2 = ((vmat[mask] - qmat[i][None, :]) ** 2).sum(axis=1)
+                out_q.extend([qid] * int(mask.sum()))
+                out_v.extend(pdf["vec_id"].to_numpy()[mask].tolist())
+                out_d.extend(d2.tolist())
+            yield pd.DataFrame(
+                {"q_id": out_q, "vec_id": out_v, "dist2": out_d}
+            )
+
+    scored = assigned.mapInPandas(
+        rerank, schema="q_id long, vec_id long, dist2 long"
+    )
+    w = Window.partitionBy("q_id").orderBy("dist2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mhdb_tables2turtles_spark.ops.ivf import MICRO, kmeans_fit_assign
+from mhdb_tables2turtles_spark.ops.ivf import (
+    MICRO,
+    ivf_search,
+    kmeans_fit,
+    kmeans_fit_assign,
+    quantize,
+)
 from mhdb_tables2turtles_spark.web.graphrank import SCALE, pagerank_fixed
 
 __all__ = ["GRAPH_QUERIES", "graph_oracles"]
@@ -125,9 +131,90 @@ def _sql_ivf() -> str:
     )
 
 
+_SEARCH_Q = 3  # query vectors: first 3 by (md5-hash, vec_id)
+_SEARCH_PROBES = 2
+_SEARCH_TOPK = 5
+
+
+def q_embed_ivf_search(spark, sf_dir):
+    """IVF probe search (ops/ivf.py::ivf_search): fit the same index as
+    embed_ivf, then top-k rerank inside each query's 2 nearest cells."""
+    from pyspark.sql import Window
+
+    from mhdb_tables2turtles_spark.ops.common import hash60
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = quantize(vecs).cache()
+    centroids = kmeans_fit(q, k=_IVF_K, iterations=_IVF_ITERS, dim=_IVF_DIM)
+    w = Window.orderBy(hash60(F.col("vec_id").cast("string")), "vec_id")
+    qrows = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEARCH_Q)
+        .select("vec_id", "v")
+        .collect()
+    )
+    queries = [(r.vec_id, [int(x) for x in r.v]) for r in qrows]
+    return ivf_search(
+        q, centroids, queries, probes=_SEARCH_PROBES, topk=_SEARCH_TOPK
+    )
+
+
+def _sql_ivf_search() -> str:
+    """The _sql_ivf CTE chain + probe selection + in-cell exact rerank."""
+    body = _sql_ivf()
+    # reuse everything up to the final select over a{iters+1}
+    ctes = body[: body.rindex("\nselect vec_id, cluster")]
+    a_final = f"a{_IVF_ITERS + 1}"
+    c_final = f"c{_IVF_ITERS}"
+    qdist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (qs.qv[i] - c.c[i]) * (qs.qv[i] - c.c[i])))"
+    ).format(dim=_IVF_DIM)
+    vdist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (cand.v[i] - cand.qv[i]) * (cand.v[i] - cand.qv[i])))"
+    ).format(dim=_IVF_DIM)
+    return f"""{ctes},
+    qs as (
+        select vec_id as q_id, v as qv from (
+            select vec_id, v, row_number() over (
+                order by ('0x'||substr(md5(vec_id::varchar),1,15))::bigint,
+                         vec_id
+            ) as rn from q
+        ) where rn <= {_SEARCH_Q}
+    ),
+    qprobe as (
+        select q_id, cluster from (
+            select qs.q_id, c.cluster,
+                   row_number() over (
+                       partition by qs.q_id order by {qdist}, c.cluster
+                   ) as pr
+            from qs, {c_final} c
+        ) where pr <= {_SEARCH_PROBES}
+    ),
+    cand as (
+        select qprobe.q_id, a.vec_id, a.v, qs.qv
+        from qprobe
+        join {a_final} a using (cluster)
+        join qs using (q_id)
+    ),
+    scored as (
+        select q_id, vec_id, {vdist}::bigint as dist2 from cand
+    )
+    select q_id, vec_id, dist2, rank from (
+        select *, row_number() over (
+            partition by q_id order by dist2, vec_id
+        ) as rank from scored
+    ) where rank <= {_SEARCH_TOPK}
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
+    "embed_ivf_search": q_embed_ivf_search,
 }
 
 
@@ -135,4 +222,5 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
     return {
         "kg_pagerank": _sql_pagerank(cooc_sql),
         "embed_ivf": _sql_ivf(),
+        "embed_ivf_search": _sql_ivf_search(),
     }

@@ -75,3 +75,36 @@ def test_kmeans_assignment_deterministic(spark):
     )
     assert a == b
     assert len({c for _, c, _ in a}) > 1  # actually uses multiple cells
+
+
+def test_ivf_search_finds_self_and_neighbors(spark):
+    import random
+
+    from mhdb_tables2turtles_spark.ops.ivf import (
+        ivf_search,
+        kmeans_fit,
+        quantize,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize(vecs).cache()
+    cents = kmeans_fit(q, k=4, iterations=2, dim=8)
+    queries = [
+        (r.vec_id, [int(x) for x in r.v])
+        for r in q.filter("vec_id in (0, 7)").collect()
+    ]
+    got = ivf_search(q, cents, queries, probes=2, topk=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.dist2))
+    for qid in (0, 7):
+        ranked = sorted(by_q[qid])
+        assert len(ranked) == 3
+        # the query's own vector is in its probed cells -> rank 1, dist 0
+        assert ranked[0] == (1, qid, 0)
+        # distances non-decreasing with rank
+        assert ranked[0][2] <= ranked[1][2] <= ranked[2][2]
