@@ -35,6 +35,7 @@ __all__ = [
     "repetition_stats",
     "segment_dedup",
     "host_stats",
+    "stratified_sample",
 ]
 
 # Ordered (name, pattern, replacement): redaction applies in this order,
@@ -173,3 +174,29 @@ def host_stats(docs: DataFrame, host_col: str = "source") -> DataFrame:
         F.round(1 - uniq / n, 4).alias("dup_ratio"),
         F.round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    default_rate: float = 0.0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-data mixes: keep a
+    document iff ``hash60(id) % 10000 < rate(stratum) * 10000``.
+
+    Unlike ``df.sample``, this is reproducible across runs, engines, and
+    partitionings (the coin flip is a pure function of the id), so a mix
+    recipe re-executed on a grown corpus keeps every previously-selected
+    document — the property curated-training-set pipelines need.
+    Row-local, zero shuffle; the rate table compiles to a when-chain
+    (broadcast-join a rates DataFrame instead if strata are unbounded).
+    """
+    bucket = hash60(F.col(id_col).cast("string")) % 10000
+    rate = F.lit(int(default_rate * 10000))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(r * 10000))
+        ).otherwise(rate)
+    return docs.filter(bucket < rate)

@@ -185,11 +185,79 @@ _SQL_HOST_STATS = f"""
 """
 
 
+# ---------------------------------------------------------- doc_sample
+
+# mix recipe: oversample src0, keep half of src1, trickle the rest
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixes
+    (ops/cleaning.py::stratified_sample)."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return cleaning.stratified_sample(
+        docs, _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _sql_doc_sample() -> str:
+    whens = " ".join(
+        f"when source = '{s}' then {int(r * 10000)}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+        select doc_id, source from documents
+        where {_sql_hash60("doc_id::varchar")} % 10000
+              < (case {whens} else {int(_MIX_DEFAULT * 10000)} end)
+    """
+
+
+# ------------------------------------------------------- token_packing
+
+_PACK_BUDGET = 256
+
+
+def q_token_packing(spark, sf_dir):
+    """Greedy sequence packing into 256-token windows
+    (ops/packing.py::pack_documents)."""
+    from mhdb_tables2turtles_spark.ops.packing import pack_documents
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=_PACK_BUDGET)
+
+
+_SQL_TOKEN_PACKING = f"""
+    with recursive d as (
+        select source as grp, doc_id, len({_TOKS}) as n_tokens,
+               row_number() over (
+                   partition by source order by doc_id
+               ) as rn
+        from documents
+    ),
+    rec(grp, rn, doc_id, n_tokens, pack_id, pack_fill) as (
+        select grp, rn, doc_id, n_tokens, 0::bigint, n_tokens
+        from d where rn = 1
+        union all
+        select d.grp, d.rn, d.doc_id, d.n_tokens,
+               case when rec.pack_fill + d.n_tokens > {_PACK_BUDGET}
+                    then rec.pack_id + 1 else rec.pack_id end,
+               case when rec.pack_fill + d.n_tokens > {_PACK_BUDGET}
+                    then d.n_tokens
+                    else rec.pack_fill + d.n_tokens end
+        from rec join d on d.grp = rec.grp and d.rn = rec.rn + 1
+    )
+    select grp as "group", doc_id, n_tokens, pack_id, pack_fill from rec
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
     "segment_dedup": q_segment_dedup,
     "host_stats": q_host_stats,
+    "doc_sample": q_doc_sample,
+    "token_packing": q_token_packing,
 }
 
 
@@ -199,4 +267,6 @@ def cleaning_oracles() -> dict[str, str]:
         "text_repetition": _SQL_REPETITION,
         "segment_dedup": _SQL_SEGMENT_DEDUP,
         "host_stats": _SQL_HOST_STATS,
+        "doc_sample": _sql_doc_sample(),
+        "token_packing": _SQL_TOKEN_PACKING,
     }

@@ -96,3 +96,60 @@ def test_host_stats(spark):
     assert (got["h2"].n_docs, got["h2"].n_unique_texts) == (1, 1)
     assert got["h2"].dup_ratio == 0.0
     assert got["h2"].avg_tokens == pytest.approx(3.0)
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    rows = [(i, f"text {i}", f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    full = {
+        r.doc_id
+        for r in cleaning.stratified_sample(
+            docs, {"s0": 1.0, "s1": 0.5}, default_rate=0.0
+        ).collect()
+    }
+    half = {
+        r.doc_id
+        for r in cleaning.stratified_sample(
+            docs, {"s0": 0.5, "s1": 0.25}, default_rate=0.0
+        ).collect()
+    }
+    # rate 1.0 keeps every s0 doc; rate 0.0 drops every s2 doc
+    assert {i for i in range(300) if i % 3 == 0} <= full
+    assert not any(i % 3 == 2 for i in full)
+    # lowering a rate only removes docs, never swaps them (mix stability)
+    assert half <= full
+    # rerun identical
+    again = {
+        r.doc_id
+        for r in cleaning.stratified_sample(
+            docs, {"s0": 1.0, "s1": 0.5}, default_rate=0.0
+        ).collect()
+    }
+    assert again == full
+
+
+def test_pack_documents_greedy(spark):
+    from mhdb_tables2turtles_spark.ops.packing import pack_documents
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (1, words(6), "g"),
+        (2, words(3), "g"),   # 6+3=9 <= 10 -> pack 0
+        (3, words(4), "g"),   # 9+4 > 10 -> pack 1
+        (4, words(12), "g"),  # oversize: own pack 2
+        (5, words(2), "g"),   # after oversize -> pack 3
+        (6, words(10), "h"),  # other group packs independently
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r.doc_id: (r.group, r.pack_id, r.pack_fill)
+        for r in pack_documents(docs, budget=10).collect()
+    }
+    assert got[1] == ("g", 0, 6)
+    assert got[2] == ("g", 0, 9)
+    assert got[3] == ("g", 1, 4)
+    assert got[4] == ("g", 2, 12)
+    assert got[5] == ("g", 3, 2)
+    assert got[6] == ("h", 0, 10)
