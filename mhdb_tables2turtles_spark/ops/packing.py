@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mhdb_tables2turtles_spark.ops.common import tokens
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "split_documents"]
 
 
 def pack_documents(
@@ -65,4 +65,48 @@ def pack_documents(
         kernel,
         schema="group string, doc_id long, n_tokens long, "
         "pack_id long, pack_fill long",
+    )
+
+
+def split_documents(
+    docs: DataFrame, budget: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunks, chunk_tokens, chunk_text): split
+    each document into consecutive ``budget``-token chunks (the upstream
+    op that makes :func:`pack_documents`'s no-splitting rule safe — run
+    split first and nothing oversized reaches the packer).
+
+    Pure row-local explode: ``sequence`` over ceil(n/budget) chunk
+    indexes, each chunk a ``slice`` of the token array — codegen'd, zero
+    shuffle, and expressible verbatim in the SQL oracle."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(budget)).cast("int")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("ts"),
+            n.alias("n_tokens"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            "n_chunks",
+            F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunks",
+            F.size(
+                F.slice(F.col("ts"), (F.col("chunk_id") - 1) * budget + 1, budget)
+            ).alias("chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("ts"), (F.col("chunk_id") - 1) * budget + 1, budget),
+            ).alias("chunk_text"),
+        )
     )

@@ -251,6 +251,34 @@ _SQL_TOKEN_PACKING = f"""
 """
 
 
+# ----------------------------------------------------------- doc_split
+
+_SPLIT_BUDGET = 32
+
+
+def q_doc_split(spark, sf_dir):
+    """Token-budget document splitting (ops/packing.py::split_documents)
+    — the upstream op that keeps oversized docs out of the packer."""
+    from mhdb_tables2turtles_spark.ops.packing import split_documents
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return split_documents(docs, budget=_SPLIT_BUDGET)
+
+
+_SQL_DOC_SPLIT = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents)
+    select doc_id, i as chunk_id,
+           cast(ceil(len(ts) / {_SPLIT_BUDGET}.0) as int) as n_chunks,
+           len(ts[(i-1)*{_SPLIT_BUDGET}+1 : (i-1)*{_SPLIT_BUDGET}+{_SPLIT_BUDGET}])
+               as chunk_tokens,
+           array_to_string(
+               ts[(i-1)*{_SPLIT_BUDGET}+1 : (i-1)*{_SPLIT_BUDGET}+{_SPLIT_BUDGET}],
+               ' ') as chunk_text
+    from t, unnest(generate_series(
+        1, cast(ceil(len(ts) / {_SPLIT_BUDGET}.0) as int))) u(i)
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -258,6 +286,7 @@ CLEANING_QUERIES = {
     "host_stats": q_host_stats,
     "doc_sample": q_doc_sample,
     "token_packing": q_token_packing,
+    "doc_split": q_doc_split,
 }
 
 
@@ -269,4 +298,5 @@ def cleaning_oracles() -> dict[str, str]:
         "host_stats": _SQL_HOST_STATS,
         "doc_sample": _sql_doc_sample(),
         "token_packing": _SQL_TOKEN_PACKING,
+        "doc_split": _SQL_DOC_SPLIT,
     }

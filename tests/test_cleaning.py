@@ -153,3 +153,21 @@ def test_pack_documents_greedy(spark):
     assert got[4] == ("g", 2, 12)
     assert got[5] == ("g", 3, 2)
     assert got[6] == ("h", 0, 10)
+
+
+def test_split_documents_chunks(spark):
+    from mhdb_tables2turtles_spark.ops.packing import split_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunks, r.chunk_tokens, r.chunk_text)
+        for r in split_documents(docs, budget=3).collect()
+    }
+    assert got[(1, 1)] == (3, 3, "t0 t1 t2")
+    assert got[(1, 2)] == (3, 3, "t3 t4 t5")
+    assert got[(1, 3)] == (3, 1, "t6")  # remainder chunk
+    assert got[(2, 1)] == (1, 2, "a b")
+    assert len(got) == 4
