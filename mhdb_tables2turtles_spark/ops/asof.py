@@ -1,0 +1,89 @@
+"""As-of (most-recent-prior) join — the classic time-series operator
+Spark's DataFrame API lacks.
+
+For every left row, attach the latest right row with the same key whose
+timestamp is <= the left timestamp (inclusive, matching DuckDB's native
+``ASOF JOIN`` which the driver oracle uses verbatim).
+
+Implementation is the union + last-value-carry-forward trick, NOT a
+range join: tag both sides, union them, sort within each key by
+(time, side) and carry the last seen right-side payload forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+
+Scale shape: one shuffle keyed by the join key and one sort — the same
+cost as a regular sort-merge join, versus the O(left x right-per-key)
+blowup of the naive range-join formulation.  Skewed keys behave like
+any window op (a hot key sorts on one task); sub-shard hot keys by time
+range if a single user's history outgrows an executor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row plus, for each column in
+    ``value_cols``, the value from the most recent ``right`` row (same
+    ``keys``, ``right.time <= left.time``; null when no prior right row
+    exists).  The right timestamp itself is exposed as
+    ``{time_col}{suffix}``.
+
+    Ties at the same timestamp match (inclusive) because the right side
+    sorts before the left side at equal times.  The right side must be
+    unique per (keys, time) — pre-aggregate it otherwise, exactly as
+    with DuckDB/kdb ASOF semantics (ambiguous duplicates have no
+    defined winner).
+    """
+    keys = list(keys)
+    lcols = [c for c in left.columns]
+    carried = [f"{c}{suffix}" for c in value_cols] + [f"{time_col}{suffix}"]
+
+    lpart = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[time_col].dataType).alias("__r_ts"),
+    )
+    rpart = right.select(
+        *[F.col(k) for k in keys],
+        F.col(time_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys and c != time_col
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(time_col).alias("__r_ts"),
+    ).select(*lcols, "__side", *[f"__r_{c}" for c in value_cols], "__r_ts")
+
+    unioned = lpart.unionByName(rpart)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(time_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -211,10 +211,43 @@ def _sql_ivf_search() -> str:
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (ops/asof.py): every click event picks up the user's
+    most recent prior-or-simultaneous purchase.  The oracle is DuckDB's
+    NATIVE ASOF JOIN — an authoritative semantic reference, not a
+    hand-rolled mirror."""
+    from mhdb_tables2turtles_spark.ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, keys=["user_id"], time_col="ts",
+        value_cols=["value"],
+    )
+
+
+_SQL_EVENTS_ASOF = """
+    with l as (select event_id, user_id, ts from events
+               where event_type = 'click'),
+    r as (select user_id, ts, value from events
+          where event_type = 'purchase')
+    select l.event_id, l.user_id, l.ts,
+           r.value as value_asof, r.ts as ts_asof
+    from l asof left join r
+      on l.user_id = r.user_id and l.ts >= r.ts
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
     "embed_ivf_search": q_embed_ivf_search,
+    "events_asof": q_events_asof,
 }
 
 
@@ -223,4 +256,5 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "kg_pagerank": _sql_pagerank(cooc_sql),
         "embed_ivf": _sql_ivf(),
         "embed_ivf_search": _sql_ivf_search(),
+        "events_asof": _SQL_EVENTS_ASOF,
     }

@@ -108,3 +108,30 @@ def test_ivf_search_finds_self_and_neighbors(spark):
         assert ranked[0] == (1, qid, 0)
         # distances non-decreasing with rank
         assert ranked[0][2] <= ranked[1][2] <= ranked[2][2]
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from mhdb_tables2turtles_spark.ops.asof import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", t(5)), (2, "u1", t(10)), (3, "u1", t(2)), (4, "u2", t(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(3), 30.0), ("u1", t(10), 100.0), ("u2", t(9), 9.0)],
+        ["user_id", "ts", "value"],
+    )
+    got = {
+        r.event_id: (r.value_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, keys=["user_id"], time_col="ts",
+            value_cols=["value"],
+        ).collect()
+    }
+    assert got[1] == (30.0, t(3))     # most recent prior
+    assert got[2] == (100.0, t(10))   # equal timestamps match (inclusive)
+    assert got[3] == (None, None)     # no prior right row
+    assert got[4] == (None, None)     # other key's rows invisible
