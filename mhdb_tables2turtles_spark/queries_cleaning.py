@@ -279,6 +279,73 @@ _SQL_DOC_SPLIT = f"""
 """
 
 
+# -------------------------------------------------------- corpus_ngrams
+
+_NGRAM_MIN_COUNT = 20
+
+
+def q_corpus_ngrams(spark, sf_dir):
+    """Corpus-level bigram heavy hitters (LM data analysis): counts over
+    every document's word bigrams, thresholded.  The explode shuffles
+    (gram-hash-keyed) counts only; partial aggregation collapses repeats
+    map-side, which is what makes heavy hitters cheap — the hot grams
+    are exactly the ones pre-aggregated hardest before the shuffle."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    from mhdb_tables2turtles_spark.ops.common import shingles, tokens
+
+    grams = docs.select(
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _NGRAM_MIN_COUNT)
+    )
+
+
+_SQL_CORPUS_NGRAMS = f"""
+    with t as (select {_TOKS} as ts from documents),
+    g as (select unnest(list_transform(
+              generate_series(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]
+          )) as gram from t)
+    select gram, count(*) as n from g group by gram
+    having count(*) >= {_NGRAM_MIN_COUNT}
+"""
+
+
+# -------------------------------------------------- host_token_quantiles
+
+
+def q_host_token_quantiles(spark, sf_dir):
+    """Per-source token-count distribution (exact linear-interpolation
+    percentiles over small ints — deterministic across engines)."""
+    from mhdb_tables2turtles_spark.ops.common import tokens
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    per = docs.select(F.col("source").alias("host"), n.alias("n_tokens"))
+    return per.groupBy("host").agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("p25"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("p50"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("p75"),
+        F.max("n_tokens").alias("p_max"),
+    )
+
+
+_SQL_HOST_QUANTILES = f"""
+    with d as (select source as host, len({_TOKS}) as n_tokens
+               from documents)
+    select host,
+           quantile_cont(n_tokens, 0.25) as p25,
+           quantile_cont(n_tokens, 0.5) as p50,
+           quantile_cont(n_tokens, 0.75) as p75,
+           max(n_tokens) as p_max
+    from d group by host
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -287,6 +354,8 @@ CLEANING_QUERIES = {
     "doc_sample": q_doc_sample,
     "token_packing": q_token_packing,
     "doc_split": q_doc_split,
+    "corpus_ngrams": q_corpus_ngrams,
+    "host_token_quantiles": q_host_token_quantiles,
 }
 
 
@@ -299,4 +368,6 @@ def cleaning_oracles() -> dict[str, str]:
         "doc_sample": _sql_doc_sample(),
         "token_packing": _SQL_TOKEN_PACKING,
         "doc_split": _SQL_DOC_SPLIT,
+        "corpus_ngrams": _SQL_CORPUS_NGRAMS,
+        "host_token_quantiles": _SQL_HOST_QUANTILES,
     }
