@@ -20,7 +20,11 @@ from mhdb_tables2turtles_spark.ops.ivf import (
     kmeans_fit_assign,
     quantize,
 )
-from mhdb_tables2turtles_spark.web.graphrank import SCALE, pagerank_fixed
+from mhdb_tables2turtles_spark.web.graphrank import (
+    SCALE,
+    pagerank_fixed,
+    triangle_counts,
+)
 
 __all__ = ["GRAPH_QUERIES", "graph_oracles"]
 
@@ -243,11 +247,44 @@ _SQL_EVENTS_ASOF = """
 """
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Triangle counts per entity in the co-mention graph
+    (web/graphrank.py::triangle_counts)."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+
+    edges = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    ).localCheckpoint(eager=False)
+    return triangle_counts(edges)
+
+
+def _sql_triangles(cooc_sql: str) -> str:
+    return f"""
+    with e as (
+        select term_a as a, term_b as b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+    ),
+    tri as (
+        select ab.a, ab.b, bc.b as c
+        from e ab
+        join e bc on ab.b = bc.a
+        join e ac on ac.a = ab.a and ac.b = bc.b
+    ),
+    corners as (select a as node from tri
+                union all select b from tri
+                union all select c from tri)
+    select node, count(*) as n_triangles from corners group by node
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
     "embed_ivf_search": q_embed_ivf_search,
     "events_asof": q_events_asof,
+    "kg_triangles": q_kg_triangles,
 }
 
 
@@ -257,4 +294,5 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "embed_ivf": _sql_ivf(),
         "embed_ivf_search": _sql_ivf_search(),
         "events_asof": _SQL_EVENTS_ASOF,
+        "kg_triangles": _sql_triangles(cooc_sql),
     }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SCALE", "pagerank_fixed"]
+__all__ = ["SCALE", "pagerank_fixed", "triangle_counts"]
 
 SCALE = 1_000_000
 
@@ -65,3 +65,33 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .select(F.col("v").alias("node"), "pr")
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles): triangles through each node of the
+    undirected graph given as distinct ``(src, dst)``, ``src < dst``.
+
+    Enumerate each triangle once as an ordered triple a < b < c via two
+    joins on the ordered edge list, then credit all three corners.
+    Join keys are node ids — at web scale order by degree first
+    (degree-ordered orientation) so hubs sit on the small side of the
+    joins; the co-mention vocab graph is far below that threshold.
+    """
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

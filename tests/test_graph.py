@@ -135,3 +135,19 @@ def test_asof_join_semantics(spark):
     assert got[2] == (100.0, t(10))   # equal timestamps match (inclusive)
     assert got[3] == (None, None)     # no prior right row
     assert got[4] == (None, None)     # other key's rows invisible
+
+
+def test_triangle_counts(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import triangle_counts
+
+    # K4 on {a,b,c,d}: each node is in C(3,2)=3 triangles; e isolated-ish
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            ("d", "e"),  # dangling edge, no triangle
+        ],
+        ["src", "dst"],
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
