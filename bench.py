@@ -69,6 +69,8 @@ BENCH_QUERIES = (
     "text_pii",
     "segment_dedup",
     "event_sessions",
+    "dedup_clusters",
+    "events_asof",
 )
 
 
