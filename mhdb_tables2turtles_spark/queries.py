@@ -703,7 +703,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 # unrounded jaccard here (the op thresholds the exact ratio; the
 # rounded value in _SQL_JACCARD is display-only)
-_SQL_DEDUP_CLUSTERS = f"""
+_SQL_CC_CTES = f"""
     with recursive toks as (select doc_id, {_TOKS} as ts from documents),
     sh as (select doc_id,
                   list_distinct(list_transform(
@@ -727,11 +727,69 @@ _SQL_DEDUP_CLUSTERS = f"""
         union
         select reach.node, e.v from reach join e on reach.r = e.u
     ),
-    cc as (select node, min(r) as component from reach group by node),
+    cc as (select node, min(r) as component from reach group by node)"""
+
+_SQL_DEDUP_CLUSTERS = f"""{_SQL_CC_CTES},
     sz as (select component, count(*) as cluster_size from cc
            group by component)
     select node as doc_id, component as canonical_id, cluster_size
     from cc join sz using (component)
+"""
+
+
+def q_dedup_decisions(spark, sf_dir):
+    """The dedup family's end artifact: one keep/drop decision per
+    document.  Exact duplicates (same normalized content hash) drop
+    first; then near-dup cluster members that aren't their cluster's
+    canonical; everything else keeps.  Composes exact_duplicates +
+    near_dup_clusters; the corpus never shuffles, only hashes and the
+    tiny verified-edge graph."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id", hash60(norm_text(F.col("text"))).alias("content_hash")
+    )
+    keepers = hashes.groupBy("content_hash").agg(
+        F.min("doc_id").alias("exact_keeper")
+    )
+    exact = hashes.join(keepers, "content_hash").select(
+        "doc_id", "exact_keeper"
+    )
+    clusters = dedup.near_dup_clusters(docs, tau=_DEDUP_TAU).select(
+        "doc_id", "canonical_id"
+    )
+    joined = exact.join(clusters, "doc_id", "left")
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keeper"), "exact_dup")
+        .when(
+            F.col("canonical_id").isNotNull()
+            & (F.col("canonical_id") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+_SQL_DEDUP_DECISIONS = f"""{_SQL_CC_CTES},
+    hashes as (select doc_id, {_sql_hash60(_NORM)} as content_hash
+               from documents),
+    ex as (select doc_id,
+                  min(doc_id) over (partition by content_hash)
+                      as exact_keeper
+           from hashes),
+    j as (select ex.doc_id, ex.exact_keeper, cc.component as canonical_id
+          from ex left join cc on ex.doc_id = cc.node),
+    r as (select doc_id,
+                 case when doc_id != exact_keeper then 'exact_dup'
+                      when canonical_id is not null
+                           and canonical_id != doc_id then 'near_dup'
+                      else 'keep' end as reason
+          from j)
+    select doc_id, reason, reason = 'keep' as keep from r
 """
 
 
@@ -1009,6 +1067,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_decisions": q_dedup_decisions,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -1074,6 +1133,7 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": _sql_simhash(),
         "jaccard_pairs": _SQL_JACCARD,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "dedup_decisions": _SQL_DEDUP_DECISIONS,
         "text_token_stats": _SQL_TOKEN_STATS,
         "text_quality": _SQL_QUALITY,
         "text_lang_id": _sql_lang_id(),
