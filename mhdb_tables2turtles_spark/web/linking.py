@@ -10,12 +10,16 @@ TF-IDF-weighted token overlap.
 Plan shape (all built-in ops, Catalyst-optimizable):
 
   mentions ⨝B vocab(surface)                      -- broadcast: dictionary is tiny
-  pages ⟕ explode(tokens) -> (url, token, tf)      -- only pages w/ ambiguous mentions
-  ⨝ idf(token)  ⨝B entity_tokens(token)            -- sparse dot product as a join-agg
+  pages ⟕ explode(tokens)                          -- only pages w/ ambiguous mentions
+  ⋉B profile_tokens                                -- map-side prune BEFORE any shuffle
+  -> (url, token, tf)  ⨝B idf(token)  ⨝B entity_tokens(token)
   groupBy(url, entity) sum(tf·idf²)                -- map-side partial agg
   row_number over (url, surface)                   -- pick argmax
 
-The only wide shuffles key on ``url`` and ``token`` — both high-cardinality
+Every token-keyed structure (tf agg, df agg, idf join) is pruned against
+the ontology-sized profile-token set by broadcast semi-join *before* it
+shuffles, so shuffle volume is O(profile-token hits), not O(corpus
+tokens); the remaining wide shuffles key on ``url`` — high-cardinality
 and uniform at web scale (no hub keys), so this survives 1000 executors.
 """
 
@@ -36,13 +40,22 @@ def candidate_entities(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def token_idf(pages: DataFrame) -> DataFrame:
+def token_idf(
+    pages: DataFrame, restrict_tokens: DataFrame | None = None
+) -> DataFrame:
     """(token, idf) over the page corpus: idf = ln((N+1)/(df+1)) + 1.
 
     One pass: explode distinct tokens per page, count pages per token.
+
+    ``restrict_tokens`` (a single-column ``token`` DataFrame) prunes the
+    exploded stream *before* the document-frequency shuffle via a
+    broadcast semi-join — df values for surviving tokens are unchanged
+    (a filter cannot alter how many pages contain a kept token), but the
+    shuffle shrinks from every distinct corpus token (~unbounded at
+    10^12 pages) to the restriction set.
     """
     n_pages = pages.count()
-    return (
+    exploded = (
         pages.select(
             F.col("url"),
             F.explode(
@@ -50,7 +63,13 @@ def token_idf(pages: DataFrame) -> DataFrame:
             ).alias("token"),
         )
         .filter(F.length("token") > 1)
-        .groupBy("token")
+    )
+    if restrict_tokens is not None:
+        exploded = exploded.join(
+            F.broadcast(restrict_tokens), "token", "left_semi"
+        )
+    return (
+        exploded.groupBy("token")
         .agg(F.count("*").alias("df"))
         .select(
             "token",
@@ -99,6 +118,22 @@ def link_mentions(
     amb = cands.join(F.broadcast(amb_surfaces), "surface")
     unamb = cands.join(F.broadcast(amb_surfaces), "surface", "left_anti")
 
+    entity_tokens = profiles.select(
+        "entity_iri",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("profile_text")), r"\s+"))
+        ).alias("token"),
+    ).filter(F.length("token") > 1)
+    # only tokens occurring in some entity profile can contribute to a
+    # score (scores is an inner join against entity_tokens), so prune the
+    # page-token stream against this ontology-sized set BEFORE any
+    # shuffle: the tf aggregation, the df aggregation, and the idf join
+    # all shrink from corpus-token cardinality (unbounded at 10^12
+    # pages) to profile-token cardinality (broadcastable by
+    # construction).  Inner joins commute with this filter — results are
+    # value-identical.
+    profile_tokens = entity_tokens.select("token").distinct()
+
     # pages that actually need scoring (semi-join prunes the token scan)
     amb_pages = pages.join(amb.select("url").distinct(), "url", "left_semi")
     page_tokens = (
@@ -107,19 +142,14 @@ def link_mentions(
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
         )
         .filter(F.length("token") > 1)
+        .join(F.broadcast(profile_tokens), "token", "left_semi")
         .groupBy("url", "token")
         .agg(F.count("*").alias("tf"))
     )
-    entity_tokens = profiles.select(
-        "entity_iri",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("profile_text")), r"\s+"))
-        ).alias("token"),
-    ).filter(F.length("token") > 1)
 
-    idf = token_idf(pages)
+    idf = token_idf(pages, restrict_tokens=profile_tokens)
     scores = (
-        page_tokens.join(idf, "token")
+        page_tokens.join(F.broadcast(idf), "token")
         .join(F.broadcast(entity_tokens), "token")
         .groupBy("url", "entity_iri")
         .agg(F.sum(F.col("tf") * F.col("idf") * F.col("idf")).alias("score"))

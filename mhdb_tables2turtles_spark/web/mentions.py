@@ -94,11 +94,23 @@ def page_entity_triples(linked: DataFrame) -> DataFrame:
     """
     # mint each page IRI exactly once: the pandas-UDF kernel runs over
     # the distinct url set (pages), and the per-pair fan-out happens as a
-    # JVM-side broadcast join — never per mention row
+    # JVM-side broadcast join — never per mention row.
+    #
+    # Two physical-plan guards (measured on the 150k-page probe — the
+    # stage was the pipeline's worst scaler before them):
+    # * the distinct url set comes straight from `linked` (one shuffle),
+    #   not via the (url, entity) pairs distinct (two chained shuffles);
+    # * the post-distinct output is small, so AQE coalesces it to ~1
+    #   partition and the Arrow UDF would run single-threaded — an
+    #   explicit hash repartition on url restores UDF parallelism, and
+    #   because each union branch sees the identical exchange subtree,
+    #   ReusedExchange computes it once.
     pairs = linked.select("url", "entity_iri").distinct()
+    parallelism = linked.sparkSession.sparkContext.defaultParallelism
     per_page = (
-        pairs.select("url")
+        linked.select("url")
         .distinct()
+        .repartition(parallelism, F.col("url"))
         .select(F.col("url"), udfs.iri(F.col("url")).alias("subject"))
     )
     decl = per_page.select(

@@ -1,0 +1,69 @@
+"""CLI driver (`python -m mhdb_tables2turtles_spark` / spark-submit shim).
+
+The north rule's deployment shape is spark-submit with --py-files; the
+CLI must therefore (a) not force a master when none is given (the
+cluster manager's wins), (b) run the full staged pipeline, and (c)
+resume from committed stages on re-invocation.
+"""
+
+import json
+
+from mhdb_tables2turtles_spark.__main__ import build_session, main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1])
+
+
+def test_cli_synthesize_and_resume(spark, tmp_path, capsys):
+    argv = [
+        "--synthesize",
+        "60",
+        "--workdir",
+        str(tmp_path / "kg"),
+        "--count",
+        "--ttl",
+    ]
+    rc, summary = _run(capsys, argv)
+    assert rc == 0
+    assert set(summary["stages"]) == {
+        "extract",
+        "mentions",
+        "linked",
+        "triples",
+        "canonical",
+    }
+    assert summary["stages"]["extract"]["rows"] == 60
+    assert summary["canonical_triples"] > 0
+    assert (tmp_path / "kg" / "ttl" / "header.ttl").exists()
+
+    # second invocation resumes: stage manifests are reused verbatim
+    rc2, summary2 = _run(capsys, argv)
+    assert rc2 == 0
+    assert summary2["stages"] == summary["stages"]
+    assert summary2["canonical_triples"] == summary["canonical_triples"]
+
+
+def test_cli_reads_parquet_input(spark, tmp_path, capsys):
+    from mhdb_tables2turtles_spark.web.pipeline import build_corpus
+
+    src = str(tmp_path / "pages")
+    build_corpus(spark, 40, seed=7).write.parquet(src)
+    rc, summary = _run(
+        capsys, ["--input", src, "--workdir", str(tmp_path / "kg2")]
+    )
+    assert rc == 0
+    assert summary["stages"]["extract"]["rows"] == 40
+    assert "canonical_triples" not in summary  # no --count: no extra job
+
+
+def test_cli_no_master_flag_defers_to_submitter(spark):
+    # with no --master the builder must not pin one — under spark-submit
+    # the cluster manager's master applies; here getOrCreate returns the
+    # active (test) session untouched
+    import argparse
+
+    ns = argparse.Namespace(master=None, shuffle_partitions=None)
+    assert build_session(ns) is spark

@@ -250,3 +250,26 @@ def test_linking_prefers_matching_profile(spark):
         for r in link_mentions(mentions, vocab, pages, profiles).collect()
     }
     assert linked == {"u1": ":SoundMeasure", "u2": ":SoundStimulus"}
+
+
+def test_token_idf_restriction_is_value_identical(spark):
+    # pruning the token stream before the df aggregation must not change
+    # idf for surviving tokens (the scale guard in link_mentions relies
+    # on this: inner joins commute with the pre-shuffle semi-join)
+    from mhdb_tables2turtles_spark.web.linking import token_idf
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "alpha beta gamma alpha"),
+            ("u2", "beta gamma delta"),
+            ("u3", "gamma epsilon"),
+        ],
+        ["url", "text"],
+    )
+    keep = spark.createDataFrame([("beta",), ("gamma",)], ["token"])
+    full = {r.token: r.idf for r in token_idf(pages).collect()}
+    restricted = {
+        r.token: r.idf for r in token_idf(pages, restrict_tokens=keep).collect()
+    }
+    assert set(restricted) == {"beta", "gamma"}
+    assert restricted == {t: full[t] for t in restricted}
