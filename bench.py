@@ -71,6 +71,7 @@ BENCH_QUERIES = (
     "event_sessions",
     "dedup_clusters",
     "events_asof",
+    "decontaminate",
 )
 
 

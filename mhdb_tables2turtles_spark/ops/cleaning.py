@@ -36,6 +36,7 @@ __all__ = [
     "segment_dedup",
     "host_stats",
     "stratified_sample",
+    "ngram_decontaminate",
 ]
 
 # Ordered (name, pattern, replacement): redaction applies in this order,
@@ -173,6 +174,58 @@ def host_stats(docs: DataFrame, host_col: str = "source") -> DataFrame:
         uniq.alias("n_unique_texts"),
         F.round(1 - uniq / n, 4).alias("dup_ratio"),
         F.round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares a word ``n``-gram with an evaluation/benchmark set (the
+    GPT-3/Llama-style 8-to-13-gram overlap filter) →
+    ``(doc_id, n_grams, n_hits, contaminated)``.
+
+    ``n_grams`` counts the document's word n-grams, ``n_hits`` how many
+    of them occur anywhere in ``eval_docs``, ``contaminated`` is the
+    0/1 drop verdict.  Documents shorter than ``n`` tokens have zero
+    grams and are clean by definition (they stay in the output).
+
+    Scale: the eval side is benchmark-sized (10^3–10^6 distinct grams),
+    so its distinct 60-bit gram-hash set **broadcasts** and the corpus
+    side probes it map-side — document text never shuffles, and the only
+    shuffle is the per-doc re-aggregation of ``(doc_id, is_hit)`` pairs
+    (8-byte keys, uniform), the same proven shape as
+    :func:`segment_dedup`.  At 10^12 docs the gram explode is the cost;
+    it fuses into the scan (no wide dependency before the final agg).
+    """
+    # hash60 is single-argument, so it binds safely as a transform lambda
+    doc_grams = F.transform(shingles(tokens(F.col(text_col)), n), hash60)
+    ev = (
+        eval_docs.select(
+            F.explode(
+                F.transform(shingles(tokens(F.col(text_col)), n), hash60)
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # explode_outer keeps sub-n-token documents (null gram row)
+        F.explode_outer(doc_grams).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.count("__hit").alias("n_hits"),
+            (F.count("__hit") > 0).cast("int").alias("contaminated"),
+        )
     )
 
 

@@ -315,6 +315,47 @@ _SQL_CORPUS_NGRAMS = f"""
 """
 
 
+# --------------------------------------------------------- decontaminate
+
+# word n-gram length for the overlap filter (8 per GPT-3/Llama practice)
+_DECON_N = 8
+# deterministic stand-in eval set: every 97th document is "a benchmark"
+_DECON_EVAL_MOD = 97
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/cleaning.py::ngram_decontaminate):
+    flag documents sharing any 8-gram with the deterministic eval subset
+    (doc_id % 97 == 0).  Eval grams broadcast; text never shuffles."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+    return cleaning.ngram_decontaminate(docs, eval_docs, n=_DECON_N)
+
+
+_SQL_DECONTAMINATE = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    g as (select doc_id, unnest(list_transform(
+              generate_series(1, len(ts) - {_DECON_N - 1}),
+              i -> {_sql_hash60(
+                  f"array_to_string(ts[i : i+{_DECON_N - 1}], ' ')"
+              )}
+          )) as g from t),
+    ev as (select distinct g from g where doc_id % {_DECON_EVAL_MOD} = 0),
+    hits as (select g.doc_id,
+                    count(*) as n_grams,
+                    sum(case when ev.g is not null then 1 else 0 end)
+                        as n_hits
+             from g left join ev on g.g = ev.g
+             group by g.doc_id)
+    select t.doc_id,
+           coalesce(n_grams, 0) as n_grams,
+           coalesce(n_hits, 0) as n_hits,
+           case when coalesce(n_hits, 0) > 0 then 1 else 0 end
+               as contaminated
+    from t left join hits using (doc_id)
+"""
+
+
 # -------------------------------------------------- host_token_quantiles
 
 
@@ -356,6 +397,7 @@ CLEANING_QUERIES = {
     "doc_split": q_doc_split,
     "corpus_ngrams": q_corpus_ngrams,
     "host_token_quantiles": q_host_token_quantiles,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -370,4 +412,5 @@ def cleaning_oracles() -> dict[str, str]:
         "doc_split": _SQL_DOC_SPLIT,
         "corpus_ngrams": _SQL_CORPUS_NGRAMS,
         "host_token_quantiles": _SQL_HOST_QUANTILES,
+        "decontaminate": _SQL_DECONTAMINATE,
     }

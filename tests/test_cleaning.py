@@ -171,3 +171,33 @@ def test_split_documents_chunks(spark):
     assert got[(1, 3)] == (3, 1, "t6")  # remainder chunk
     assert got[(2, 1)] == (1, 2, "a b")
     assert len(got) == 4
+
+
+def test_ngram_decontaminate(spark):
+    # n=3 grams; eval text "c d e f" contributes grams {c d e, d e f}
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # grams include both eval grams -> 2 hits
+            (2, "x y z c d e"),     # "c d e" only -> 1 hit
+            (3, "p q r s t"),       # clean
+            (4, "so short"),        # < 3 tokens -> 0 grams, clean, kept
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame([(100, "c d e f")], ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in cleaning.ngram_decontaminate(docs, eval_docs, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].n_grams, got[1].n_hits, got[1].contaminated) == (5, 2, 1)
+    assert (got[2].n_grams, got[2].n_hits, got[2].contaminated) == (4, 1, 1)
+    assert (got[3].n_grams, got[3].n_hits, got[3].contaminated) == (3, 0, 0)
+    assert (got[4].n_grams, got[4].n_hits, got[4].contaminated) == (0, 0, 0)
+
+
+def test_ngram_decontaminate_empty_eval(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    [r] = cleaning.ngram_decontaminate(docs, ev, n=2).collect()
+    assert (r.n_grams, r.n_hits, r.contaminated) == (3, 0, 0)
