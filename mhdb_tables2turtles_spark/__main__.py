@@ -47,7 +47,20 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         metavar="N",
         help="generate a deterministic N-page synthetic corpus instead",
     )
-    p.add_argument("--workdir", required=True, help="stage-output root (resumable)")
+    src.add_argument(
+        "--workbooks",
+        metavar="OUT_DIR",
+        help="run the reference's run_all driver path instead: build all "
+        "six workbook plans and write <OUT_DIR>/<workbook>.ttl",
+    )
+    p.add_argument(
+        "--tables-root",
+        default=None,
+        help="workbooks mode: read worksheets from "
+        "<root>/<workbook>/<Sheet>.parquet instead of the deterministic "
+        "fixtures",
+    )
+    p.add_argument("--workdir", help="stage-output root (resumable; web mode)")
     p.add_argument(
         "--vocab-ttl",
         default="/root/reference/output/chills.ttl",
@@ -99,7 +112,16 @@ def build_session(args: argparse.Namespace) -> SparkSession:
 
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
+    if not args.workbooks and not args.workdir:
+        raise SystemExit("--workdir is required outside --workbooks mode")
     spark = build_session(args)
+
+    if args.workbooks:
+        from mhdb_tables2turtles_spark.plans.runner import run_all
+
+        result = run_all(spark, args.workbooks, tables_root=args.tables_root)
+        print(json.dumps({"workbooks": result}))
+        return 0
 
     from mhdb_tables2turtles_spark.web.pipeline import KGPipeline, build_corpus
 

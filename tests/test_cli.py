@@ -67,3 +67,27 @@ def test_cli_no_master_flag_defers_to_submitter(spark):
 
     ns = argparse.Namespace(master=None, shuffle_partitions=None)
     assert build_session(ns) is spark
+
+
+def test_cli_workbooks_run_all(spark, tmp_path, capsys):
+    # the reference's run_all driver path: all six workbook plans -> ttl
+    out = tmp_path / "ttl"
+    rc, summary = _run(capsys, ["--workbooks", str(out)])
+    assert rc == 0
+    wb = summary["workbooks"]
+    assert set(wb) == {
+        "states", "disorders", "resources", "assessments", "measures",
+        "chills",
+    }
+    for name, info in wb.items():
+        assert (out / f"{name}.ttl").exists()
+        assert info["n_triples"] > 0
+    # chills is the golden pipeline: parse the written file and score
+    from mhdb_tables2turtles_spark.sources.golden import (
+        load_golden_triples,
+        parse_turtle_body,
+    )
+
+    ours = set(parse_turtle_body((out / "chills.ttl").read_text()))
+    golden = load_golden_triples()
+    assert len(ours & golden) / len(golden) >= 0.99
