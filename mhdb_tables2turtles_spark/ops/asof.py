@@ -46,17 +46,27 @@ def asof_join(
     unique per (keys, time) — pre-aggregate it otherwise, exactly as
     with DuckDB/kdb ASOF semantics (ambiguous duplicates have no
     defined winner).
+
+    The right payload is carried as ONE struct(ts, values...) column
+    through ``last(..., ignorenulls=True)`` — never per value column:
+    per-column carry would skip a legitimately-NULL value in the latest
+    right row and stitch together fields from DIFFERENT right rows,
+    diverging from native ASOF (which attaches the single latest row,
+    nulls included).
     """
+    from pyspark.sql import types as T
+
     keys = list(keys)
     lcols = [c for c in left.columns]
-    carried = [f"{c}{suffix}" for c in value_cols] + [f"{time_col}{suffix}"]
 
+    pack_type = T.StructType(
+        [T.StructField("__ts", right.schema[time_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lpart = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[time_col].dataType).alias("__r_ts"),
+        F.lit(None).cast(pack_type).alias("__r_pack"),
     )
     rpart = right.select(
         *[F.col(k) for k in keys],
@@ -67,9 +77,11 @@ def asof_join(
             if c not in keys and c != time_col
         ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(time_col).alias("__r_ts"),
-    ).select(*lcols, "__side", *[f"__r_{c}" for c in value_cols], "__r_ts")
+        F.struct(
+            F.col(time_col).alias("__ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r_pack"),
+    ).select(*lcols, "__side", "__r_pack")
 
     unioned = lpart.unionByName(rpart)
     w = (
@@ -80,10 +92,14 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__side",
+        F.last("__r_pack", ignorenulls=True).over(w).alias("__pack"),
+    ).select(
+        *lcols,
+        "__side",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.col(f"__pack.{c}").alias(f"{c}{suffix}")
             for c in value_cols
         ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        F.col("__pack.__ts").alias(f"{time_col}{suffix}"),
     )
     return filled.filter(F.col("__side") == 1).drop("__side")

@@ -74,40 +74,48 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document: (doc_id, n_bigrams,
-    top_bigram_frac, dup_bigram_frac).
+    top_bigram_bp, dup_bigram_bp).
 
-    ``top_bigram_frac`` = share of the most frequent word 2-gram;
-    ``dup_bigram_frac`` = share of 2-gram occurrences whose 2-gram
-    appears more than once.  High values flag boilerplate/spam pages
-    (the reference corpus filters of Gopher/C4 use exactly these).
+    ``top_bigram_bp`` = share of the most frequent word 2-gram, in
+    integer basis points (floor(10000 * top / total));
+    ``dup_bigram_bp`` = basis-point share of 2-gram occurrences whose
+    2-gram appears more than once.  High values flag boilerplate/spam
+    pages (the corpus filters of Gopher/C4 use exactly these ratios;
+    a 0.1 threshold is 1000 bp).
+
+    Integer fixed-point, not rounded doubles: ``round(long/long, 4)``
+    diverges across engines at last-bit ties (round-2 driver hash
+    mismatch), while ``(10000 * a) div b`` on exact longs is
+    engine-identical — the same pattern as web/graphrank.py PageRank.
 
     Scale: explode shuffles only ``(doc_id, gram)`` pairs — the grouping
     key includes ``doc_id`` so hot grams don't skew a single reducer,
     and partial aggregation collapses repeats map-side.  Docs shorter
     than 2 tokens have no bigrams and drop out (same in the oracle).
-    Ratios divide two exact longs, then round once — deterministic.
     """
     grams = docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("gram")
     )
     counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    n = F.sum("c")
     return counts.groupBy("doc_id").agg(
-        n.alias("n_bigrams"),
-        F.round(F.max("c") / n, 4).alias("top_bigram_frac"),
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / n, 4
-        ).alias("dup_bigram_frac"),
+        F.sum("c").alias("n_bigrams"),
+        F.expr("(10000 * max(c)) div sum(c)").alias("top_bigram_bp"),
+        F.expr(
+            "(10000 * sum(if(c > 1, c, 0))) div sum(c)"
+        ).alias("dup_bigram_bp"),
     )
 
 
 def segment_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
     """Cross-corpus boilerplate detection (CCNet-style line dedup, over
     k-token segments because the corpus has no line structure):
-    (doc_id, n_segments, n_dup_segments, dup_ratio).
+    (doc_id, n_segments, n_dup_segments, dup_bp).
 
     A *segment* is a non-overlapping k-token chunk; a segment is *dup*
     when its 60-bit hash occurs in ≥ 2 distinct documents corpus-wide.
+    ``dup_bp`` is the duplicated-segment share in integer basis points
+    (fixed-point for engine-exact oracle comparison — see
+    :func:`repetition_stats`).
 
     Scale: text never shuffles — only 8-byte segment hashes.  Two
     shuffles: (1) group by segment hash (uniform md5 keys, no skew) to
@@ -139,11 +147,9 @@ def segment_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
             F.sum(
                 F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
             ).alias("n_dup_segments"),
-            F.round(
-                F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("dup_ratio"),
+            F.expr(
+                "(10000 * sum(if(n_docs_with > 1, 1, 0))) div count(*)"
+            ).alias("dup_bp"),
         )
     )
 

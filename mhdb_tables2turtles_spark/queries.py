@@ -286,8 +286,11 @@ def q_event_sessions(spark, sf_dir):
     (streaming/sessions.py::mention_sessions): gap-based session
     assignment via lag + running sum, then per-session aggregates.
 
-    All event-time arithmetic in integer microseconds (``unix_micros`` /
-    DuckDB ``epoch_us``) — no float seconds, so the oracle is exact.
+    All event-time arithmetic AND outputs in integer microseconds
+    (tz-free diff from epoch / DuckDB ``epoch_us``) — no float seconds
+    and no raw TIMESTAMP_NTZ columns, so the oracle is engine-exact
+    (timestamp serialization differs across engines; epoch-µs longs
+    don't — round-2 driver hash mismatch).
     One shuffle keyed by user_id; sessions never cross keys.
     """
     ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
@@ -311,9 +314,14 @@ def q_event_sessions(spark, sf_dir):
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
     return sess.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, {epoch}, min(ts))"
+        ).alias("start_us"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, {epoch}, max(ts))"
+        ).alias("end_us"),
         F.count("*").alias("n_events"),
         F.expr(
             "timestampdiff(MICROSECOND, min(ts), max(ts))"
@@ -336,15 +344,17 @@ _SQL_EVENT_SESSIONS = f"""
         from o
     ),
     s as (
-        select *, sum(new_sess) over (
+        -- cast: integer sum() is HUGEINT in DuckDB (renders as float via
+        -- pandas/Arrow — driver value-hash poison)
+        select *, cast(sum(new_sess) over (
             partition by user_id order by ts, event_id
             rows unbounded preceding
-        ) as sid
+        ) as bigint) as sid
         from f
     )
     select user_id, sid,
-           min(ts) as session_start,
-           max(ts) as session_end,
+           epoch_us(min(ts)) as start_us,
+           epoch_us(max(ts)) as end_us,
            count(*) as n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
     from s group by user_id, sid

@@ -119,10 +119,10 @@ _SQL_REPETITION = f"""
           )) as gram from t),
     c as (select doc_id, gram, count(*) as c from g group by 1, 2)
     select doc_id,
-           sum(c) as n_bigrams,
-           round(max(c) / sum(c), 4) as top_bigram_frac,
-           round(sum(case when c > 1 then c else 0 end) / sum(c), 4)
-               as dup_bigram_frac
+           cast(sum(c) as bigint) as n_bigrams,
+           cast((10000 * max(c)) // sum(c) as bigint) as top_bigram_bp,
+           cast((10000 * sum(case when c > 1 then c else 0 end)) // sum(c)
+                as bigint) as dup_bigram_bp
     from c group by doc_id
 """
 
@@ -152,10 +152,10 @@ _SQL_SEGMENT_DEDUP = f"""
            from s group by seg_hash)
     select doc_id,
            count(*) as n_segments,
-           sum(case when n_docs_with > 1 then 1 else 0 end)
-               as n_dup_segments,
-           round(sum(case when n_docs_with > 1 then 1 else 0 end)
-                 / count(*), 4) as dup_ratio
+           cast(sum(case when n_docs_with > 1 then 1 else 0 end)
+                as bigint) as n_dup_segments,
+           cast((10000 * sum(case when n_docs_with > 1 then 1 else 0 end))
+                // count(*) as bigint) as dup_bp
     from s join gc using (seg_hash)
     group by doc_id
 """
@@ -343,13 +343,16 @@ _SQL_DECONTAMINATE = f"""
     ev as (select distinct g from g where doc_id % {_DECON_EVAL_MOD} = 0),
     hits as (select g.doc_id,
                     count(*) as n_grams,
-                    sum(case when ev.g is not null then 1 else 0 end)
-                        as n_hits
+                    -- cast: bare integer sum() is HUGEINT in DuckDB,
+                    -- which pandas/Arrow renders as float — driver
+                    -- value-hash poison (round-2 mismatch)
+                    cast(sum(case when ev.g is not null then 1 else 0 end)
+                         as bigint) as n_hits
              from g left join ev on g.g = ev.g
              group by g.doc_id)
     select t.doc_id,
-           coalesce(n_grams, 0) as n_grams,
-           coalesce(n_hits, 0) as n_hits,
+           cast(coalesce(n_grams, 0) as bigint) as n_grams,
+           cast(coalesce(n_hits, 0) as bigint) as n_hits,
            case when coalesce(n_hits, 0) > 0 then 1 else 0 end
                as contaminated
     from t left join hits using (doc_id)

@@ -127,7 +127,16 @@ def mention_sessions(
                 seg = ts[sid == s]
                 if s == 0:
                     # merge into carried-over open session (late rows
-                    # within the watermark may precede last_s)
+                    # within the watermark may precede last_s — extend
+                    # BOTH boundaries, else a late mention before the
+                    # open session's start yields a wrong session_start).
+                    # Remaining approximation: a late row older than
+                    # start_s - gap still merges here instead of forming
+                    # a separate earlier session; resegmenting would need
+                    # the full per-key timestamp history in state, which
+                    # is unbounded — the sessionizer trades that corner
+                    # (already watermark-bounded) for O(1) state per key.
+                    start_s = min(int(start_s), int(seg[0]))
                     last_s = max(int(last_s), int(seg[-1]))
                     n += len(seg)
                 else:

@@ -41,7 +41,9 @@ def candidate_entities(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def token_idf(
-    pages: DataFrame, restrict_tokens: DataFrame | None = None
+    pages: DataFrame,
+    restrict_tokens: DataFrame | None = None,
+    n_pages: int | None = None,
 ) -> DataFrame:
     """(token, idf) over the page corpus: idf = ln((N+1)/(df+1)) + 1.
 
@@ -53,8 +55,14 @@ def token_idf(
     (a filter cannot alter how many pages contain a kept token), but the
     shuffle shrinks from every distinct corpus token (~unbounded at
     10^12 pages) to the restriction set.
+
+    ``n_pages`` should be passed in from an upstream stage manifest /
+    ``observe()`` counter (web/materialize.py records it for free on the
+    write job); the ``pages.count()`` fallback is an extra full-corpus
+    pass — acceptable only where no counter exists.
     """
-    n_pages = pages.count()
+    if n_pages is None:
+        n_pages = pages.count()
     exploded = (
         pages.select(
             F.col("url"),
@@ -85,11 +93,14 @@ def link_mentions(
     vocab: DataFrame,
     pages: DataFrame,
     profiles: DataFrame,
+    n_pages: int | None = None,
 ) -> DataFrame:
     """-> (url, surface, entity_iri, score, is_ambiguous).
 
     Unambiguous surfaces short-circuit the scorer entirely (the common
     case); only pages containing ambiguous surfaces pay for tokenization.
+    ``n_pages`` (corpus size for the idf) comes from the caller's stage
+    counters so the scorer adds no extra corpus pass.
     """
     cands = candidate_entities(mentions, vocab).select(
         "url", "surface", "entity_iri", "is_alias"
@@ -147,7 +158,7 @@ def link_mentions(
         .agg(F.count("*").alias("tf"))
     )
 
-    idf = token_idf(pages, restrict_tokens=profile_tokens)
+    idf = token_idf(pages, restrict_tokens=profile_tokens, n_pages=n_pages)
     scores = (
         page_tokens.join(F.broadcast(idf), "token")
         .join(F.broadcast(entity_tokens), "token")

@@ -80,17 +80,30 @@ def scan_mentions(
     return pages.select(*in_cols).mapInPandas(scan, schema=out_schema)
 
 
-def page_entity_triples(linked: DataFrame) -> DataFrame:
+# page-IRI mapping sides larger than this many urls never broadcast:
+# ~10M urls x ~100B/row ≈ 1GB build side, the sane executor-memory edge
+BROADCAST_MAX_URLS = 10_000_000
+
+
+def page_entity_triples(
+    linked: DataFrame, n_urls: int | None = None
+) -> DataFrame:
     """linked(url, entity_iri[, entity_type]) -> triple DataFrame.
 
     Emits, per page: ``<pageIRI> a :WebPage``, ``:hasURL`` typed literal,
     and one ``:mentions`` triple per distinct linked entity — the
     web-scale analogue of the reference's per-row type + FK triples.
 
-    The page-IRI broadcast join assumes one processing batch's url set
-    fits in a broadcast (fine per input split/partition run); at full
-    10^12-page scale swap for a shuffle join on ``url`` — both sides are
-    already hash-partitioned by url, so it is co-located.
+    The (url -> pageIRI) join picks its physical strategy by scale:
+    below :data:`BROADCAST_MAX_URLS` distinct urls the minted-IRI side
+    broadcasts (one network copy, no shuffle of the mention pairs);
+    above it — where a broadcast physically cannot exist (10^12 pages) —
+    it degrades to a plain shuffle equi-join on ``url``, and because both
+    sides are already hash-partitioned by url the exchange is co-located.
+    ``n_urls`` comes free from the caller's stage manifest / observe
+    counters (pages >= distinct urls); when unknown (None), the safe
+    default is the shuffle join plus AQE, which converts it back to a
+    runtime broadcast when the built side turns out small.
     """
     # mint each page IRI exactly once: the pandas-UDF kernel runs over
     # the distinct url set (pages), and the per-pair fan-out happens as a
@@ -121,7 +134,12 @@ def page_entity_triples(linked: DataFrame) -> DataFrame:
         F.lit(":hasURL").alias("predicate"),
         F.format_string('"%s"^^xsd:anyURI', F.col("url")).alias("object"),
     )
-    ments = pairs.join(F.broadcast(per_page), "url").select(
+    iri_side = (
+        F.broadcast(per_page)
+        if n_urls is not None and n_urls <= BROADCAST_MAX_URLS
+        else per_page
+    )
+    ments = pairs.join(iri_side, "url").select(
         "subject",
         F.lit(":mentions").alias("predicate"),
         F.col("entity_iri").alias("object"),

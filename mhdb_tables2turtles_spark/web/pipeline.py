@@ -107,6 +107,11 @@ class KGPipeline:
                 extract_text_col(F.col("html")).alias("text"),
             ),
         )
+        # the extract stage is committed at this point, so its manifest
+        # row count (== page/url count, urls are unique per page) is free:
+        # it feeds the idf corpus size (no extra full scan in token_idf)
+        # and the broadcast-vs-shuffle decision in page_entity_triples
+        n_pages = staged.manifest("extract")["rows"]
         mentions = staged.stage(
             "mentions",
             lambda: scan_mentions(extracted, self.surfaces),
@@ -114,11 +119,14 @@ class KGPipeline:
         )
         linked = staged.stage(
             "linked",
-            lambda: link_mentions(mentions, self.vocab, extracted, self.profiles),
+            lambda: link_mentions(
+                mentions, self.vocab, extracted, self.profiles,
+                n_pages=n_pages,
+            ),
             upstream=("mentions", "extract"),
         )
         def _triples() -> DataFrame:
-            t = page_entity_triples(linked)
+            t = page_entity_triples(linked, n_urls=n_pages)
             if include_ontology:
                 t = t.unionByName(self.ontology_triples())
             return t

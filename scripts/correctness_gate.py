@@ -27,16 +27,29 @@ TABLES = [
 
 
 def _norm(v):
-    """Normalize a cell value for hashing across engines."""
+    """Normalize a cell value for hashing across engines.
+
+    STRICT: floats compare by exact ``repr`` (shortest round-trip text of
+    the binary double) with NO significant-digit collapsing, mirroring the
+    driver's value-hash.  Queries in this repo are required to emit
+    engine-exact values (integer fixed-point ratios, epoch-microsecond
+    longs); the gate's job is to fail when they don't, exactly like the
+    driver does — round-2's ``.9g`` collapsing hid 4 driver failures.
+    """
+    import numpy as np
+
     if v is None:
         return "\0"
-    if isinstance(v, float):
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "nan"
-        # Collapse float noise the way a value-hash comparison tolerates:
-        # queries in this repo are designed to be exact, but dtypes may
-        # differ (float32 vs float64), so round to 9 significant places.
-        return format(v, ".9g")
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -86,17 +99,23 @@ def main() -> int:
         rec = {"q": name}
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            # Fetch BOTH sides through pandas, like the driver: this is
+            # what exposes engine-side dtype divergence (e.g. a bare
+            # DuckDB integer sum() is HUGEINT, which pandas renders as
+            # float64 — "3.0" vs Spark's "3"; .collect()/fetchall() hid
+            # exactly that in round 2).
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+            scols = list(spdf.columns)
             rec["spark_rows"] = len(srows)
             sql = oracles.get(name)
             if sql is None:
                 rec["status"] = "no_oracle"
                 print(json.dumps(rec), flush=True)
                 continue
-            ores = con.execute(sql)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(sql).df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
             rec["oracle_rows"] = len(orows)
             rec["rows_match"] = len(srows) == len(orows)
             rec["schema_match"] = sorted(scols) == sorted(ocols)

@@ -54,11 +54,11 @@ def test_repetition_stats(spark):
     got = {r.doc_id: r for r in cleaning.repetition_stats(docs).collect()}
     assert set(got) == {1, 2}
     assert got[1].n_bigrams == 5
-    assert got[1].top_bigram_frac == pytest.approx(0.6)
-    assert got[1].dup_bigram_frac == pytest.approx(1.0)
+    assert got[1].top_bigram_bp == 6000  # 3/5 in basis points
+    assert got[1].dup_bigram_bp == 10000  # 5/5
     assert got[2].n_bigrams == 4
-    assert got[2].top_bigram_frac == pytest.approx(0.25)
-    assert got[2].dup_bigram_frac == 0.0
+    assert got[2].top_bigram_bp == 2500  # 1/4
+    assert got[2].dup_bigram_bp == 0
 
 
 def test_segment_dedup(spark):
@@ -75,7 +75,7 @@ def test_segment_dedup(spark):
     got = {r.doc_id: r for r in cleaning.segment_dedup(docs, k=4).collect()}
     assert set(got) == {1, 2, 3}
     assert (got[1].n_segments, got[1].n_dup_segments) == (2, 1)
-    assert got[1].dup_ratio == pytest.approx(0.5)
+    assert got[1].dup_bp == 5000  # 1/2 in basis points
     assert (got[2].n_segments, got[2].n_dup_segments) == (2, 1)
     assert (got[3].n_segments, got[3].n_dup_segments) == (1, 0)
 

@@ -137,6 +137,31 @@ def test_asof_join_semantics(spark):
     assert got[4] == (None, None)     # other key's rows invisible
 
 
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """A right row whose value column is legitimately NULL still wins as
+    the latest row: all asof fields come from the SAME right row (struct
+    carry), never a mix of an older value with a newer timestamp."""
+    from datetime import datetime
+
+    from mhdb_tables2turtles_spark.ops.asof import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", t(10))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u1", t(3), 30.0, "a"), ("u1", t(8), None, "b")],
+        ["user_id", "ts", "value", "tag"],
+    )
+    row = asof_join(
+        left, right, keys=["user_id"], time_col="ts",
+        value_cols=["value", "tag"],
+    ).collect()[0]
+    # latest right row is (t(8), NULL, 'b'): the NULL rides along — no
+    # 30.0 leaking from the older row, timestamp and tag from t(8)
+    assert (row.value_asof, row.tag_asof, row.ts_asof) == (None, "b", t(8))
+
+
 def test_triangle_counts(spark):
     from mhdb_tables2turtles_spark.web.graphrank import triangle_counts
 

@@ -122,3 +122,54 @@ def test_sessions_exactly_once_restart(spark, tmp_path):
     # restart with same checkpoint: no reprocessing, no duplicates
     again = _run(spark, src, out, ck)
     assert again == got
+
+
+def _run_lenient(spark, src, out_dir, ck_dir):
+    # 1-hour watermark delay: late rows inside the horizon are ACCEPTED
+    # and must merge correctly into the open session
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = mention_sessions(stream, gap_seconds=300, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    try:
+        return {
+            (r.surface, r.session_start, r.session_end, r.n_mentions)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    except Exception:
+        return set()
+
+
+def test_sessions_late_row_lowers_open_session_start(spark, tmp_path):
+    """A late mention (within the watermark) that precedes the open
+    session's start must lower session_start, not just raise last/count."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: open session starts at T0+100
+    _write_drop(spark, src, [("late", T0 + timedelta(seconds=100))])
+    _run_lenient(spark, src, out, ck)
+    # batch 2: a LATE row at T0 (before the open start, inside the 1-hour
+    # watermark horizon), then a far-future row to flush by timeout
+    _write_drop(
+        spark,
+        src,
+        [
+            ("late", T0),
+            ("flush", T0 + timedelta(hours=6)),
+        ],
+    )
+    got = _run_lenient(spark, src, out, ck)
+    assert ("late", T0, T0 + timedelta(seconds=100), 2) in got

@@ -273,3 +273,46 @@ def test_token_idf_restriction_is_value_identical(spark):
     }
     assert set(restricted) == {"beta", "gamma"}
     assert restricted == {t: full[t] for t in restricted}
+
+
+def test_page_entity_triples_join_strategy_by_scale(spark):
+    """Below BROADCAST_MAX_URLS the IRI side broadcasts; above it the
+    plan degrades to a shuffle equi-join on url — and both physical
+    strategies produce the identical triple set."""
+    from mhdb_tables2turtles_spark.web.mentions import (
+        BROADCAST_MAX_URLS,
+        page_entity_triples,
+    )
+
+    linked = spark.createDataFrame(
+        [
+            ("http://a.example/p1", ":Chills"),
+            ("http://a.example/p1", ":Music"),
+            ("http://b.example/p2", ":Chills"),
+        ],
+        ["url", "entity_iri"],
+    )
+    small = page_entity_triples(linked, n_urls=2)
+    huge = page_entity_triples(linked, n_urls=BROADCAST_MAX_URLS + 1)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_huge = huge._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    assert "BroadcastHashJoin" not in plan_huge  # SMJ/shuffled-hash on url
+    a = {(r.subject, r.predicate, r.object) for r in small.collect()}
+    b = {(r.subject, r.predicate, r.object) for r in huge.collect()}
+    assert a == b and len(a) == 7  # 2 decls + 2 urls + 3 mentions
+
+
+def test_token_idf_precomputed_count_is_value_identical(spark):
+    # n_pages from a stage counter must reproduce the count() fallback
+    # exactly (the pipeline passes the extract-manifest row count so the
+    # linking plan adds no extra full-corpus pass)
+    from mhdb_tables2turtles_spark.web.linking import token_idf
+
+    pages = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "beta gamma"), ("u3", "gamma gamma")],
+        ["url", "text"],
+    )
+    counted = {r.token: r.idf for r in token_idf(pages).collect()}
+    passed = {r.token: r.idf for r in token_idf(pages, n_pages=3).collect()}
+    assert counted == passed
