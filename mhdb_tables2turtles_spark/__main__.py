@@ -60,6 +60,13 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         "<root>/<workbook>/<Sheet>.parquet instead of the deterministic "
         "fixtures",
     )
+    p.add_argument(
+        "--owl-profile",
+        action="store_true",
+        help="workbooks mode: emit standards-compliant owl:Class/"
+        "owl:ObjectProperty vocabulary instead of the reference's "
+        "verbatim rdf:Class/rdf:Property tokens",
+    )
     p.add_argument("--workdir", help="stage-output root (resumable; web mode)")
     p.add_argument(
         "--vocab-ttl",
@@ -119,7 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.workbooks:
         from mhdb_tables2turtles_spark.plans.runner import run_all
 
-        result = run_all(spark, args.workbooks, tables_root=args.tables_root)
+        result = run_all(
+            spark,
+            args.workbooks,
+            tables_root=args.tables_root,
+            profile="owl" if args.owl_profile else "reference",
+        )
         print(json.dumps({"workbooks": result}))
         return 0
 

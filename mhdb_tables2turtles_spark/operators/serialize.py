@@ -34,6 +34,52 @@ FIXED_PREFIXES = (
     ("xsd", "https://www.w3.org/2009/XMLSchema/XMLSchema#"),
 )
 
+# Standards-compliant OWL vocabulary for the reference's nonstandard
+# tokens.  The reference's live writer (write_ttl.py) emits `a rdf:Class`
+# / `a rdf:Property` / `rdfs:equivalentProperty` (all preserved verbatim
+# by default, for golden parity); its legacy serializer documents the
+# INTENDED vocabulary — owl:Class / owl:ObjectProperty /
+# owl:equivalentProperty (/root/reference/mhdb/write_rdf.py:90-96
+# rdf_type choices, :182-185 owl:equivalentProperty).
+_OWL_TYPE_MAP = (
+    ("rdf:Class", "owl:Class"),
+    ("rdf:Property", "owl:ObjectProperty"),
+)
+_OWL_PRED_MAP = (
+    ("rdfs:equivalentProperty", "owl:equivalentProperty"),
+)
+
+
+def owl_profile(triples: DataFrame) -> DataFrame:
+    """Rewrite the reference's nonstandard RDF vocabulary to the
+    standards-compliant OWL profile its legacy serializer documents
+    (write_rdf.py): type objects ``rdf:Class``/``rdf:Property`` become
+    ``owl:Class``/``owl:ObjectProperty``, the predicate
+    ``rdfs:equivalentProperty`` becomes ``owl:equivalentProperty``, and
+    the lowercase ``^^rdfs:literal`` datatype is normalized to
+    ``^^rdfs:Literal``.
+
+    Pure column maps (when-chains + one regexp) — row-local, zero
+    shuffle, applied before serialization.  Default OFF everywhere:
+    golden parity requires the verbatim reference tokens.
+    """
+    obj = F.col("object")
+    is_type = F.col("predicate").isin("a", "rdf:type")
+    for old, new in _OWL_TYPE_MAP:
+        obj = F.when(is_type & (F.col("object") == old), new).otherwise(obj)
+    obj = F.regexp_replace(obj, r"\^\^rdfs:literal\b", "^^rdfs:Literal")
+    pred = F.col("predicate")
+    for old, new in _OWL_PRED_MAP:
+        pred = F.when(F.col("predicate") == old, new).otherwise(pred)
+    return triples.select(
+        *[
+            pred.alias("predicate") if c == "predicate"
+            else obj.alias("object") if c == "object"
+            else c
+            for c in triples.columns
+        ]
+    )
+
 
 def subject_blocks(triples: DataFrame) -> DataFrame:
     """Triples -> one rendered Turtle block per subject with a stable

@@ -31,12 +31,14 @@ from mhdb_tables2turtles_spark.ops.common import (
 
 __all__ = [
     "PII_PATTERNS",
+    "TRACKING_PARAM_RE",
     "pii_scan",
     "repetition_stats",
     "segment_dedup",
     "host_stats",
     "stratified_sample",
     "ngram_decontaminate",
+    "url_canonicalize",
 ]
 
 # Ordered (name, pattern, replacement): redaction applies in this order,
@@ -233,6 +235,58 @@ def ngram_decontaminate(
             (F.count("__hit") > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+# tracking parameters dropped by URL canonicalization (Java∩RE2 subset)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)="
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-frontier URL canonicalization: adds ``canonical_url`` and
+    ``host`` columns.  Rules (the standard crawl-dedup normalization):
+
+    * scheme and host lowercased; default port (:80 http / :443 https)
+      stripped, other ports kept;
+    * fragment dropped;
+    * tracking query parameters removed (:data:`TRACKING_PARAM_RE`),
+      survivors sorted bytewise so parameter order never splits a page
+      into two frontier entries;
+    * empty path becomes ``/``.
+
+    Pure codegen'd column expressions (regexp + higher-order filter /
+    sort on the split parameter array) — row-local, zero shuffle, fuses
+    into the scan; the canonical form is what exact-dedup and host stats
+    key on upstream of fetch at crawl scale.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    drop_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(drop_port, "").otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return df.withColumns({"canonical_url": canonical, "host": host})
 
 
 def stratified_sample(

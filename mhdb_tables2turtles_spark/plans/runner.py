@@ -148,27 +148,69 @@ def run_all(
     tables_root: str | None = None,
     base_uri: str = "http://www.purl.org/mentalhealth",
     version: str = "0.1.0",
+    validate: bool = True,
+    profile: str = "reference",
 ) -> dict[str, dict]:
     """Build and write ``<out_dir>/<workbook>.ttl`` for every workbook —
     the reference's ``run_all=1`` driver path.  Returns per-workbook
     triple counts and output paths.
+
+    ``validate`` runs every rendered document through the strict Turtle
+    grammar checker before the atomic write — the Spark analogue of the
+    reference's external-parser pass
+    (/root/reference/validate_turtle_files.sh:12-24); a malformed escape
+    or bad IRI aborts the write instead of landing on disk.
+
+    ``profile="owl"`` rewrites the reference's nonstandard vocabulary
+    (``rdf:Class``/``rdf:Property``/``rdfs:equivalentProperty``) to the
+    standards-compliant OWL tokens its legacy serializer documents
+    (write_rdf.py) via :func:`operators.serialize.owl_profile`; the
+    default ``"reference"`` preserves the verbatim tokens for golden
+    parity.
+
+    Writes are atomic (tmp file + ``os.replace``) and the builds are
+    deterministic, so a run killed between workbooks simply re-runs:
+    completed ``.ttl`` files are byte-identically rewritten, partial
+    ``.tmp`` files are overwritten, and no reader ever sees a torn file.
 
     The per-workbook graphs are ontology-sized (the web-scale path is
     ``web/pipeline.py``), so the single-document renderer is the right
     sink here — same choice as ``render_body``'s documented small-graph
     mode.
     """
+    from mhdb_tables2turtles_spark.operators.validate import validate_turtle
+
     os.makedirs(out_dir, exist_ok=True)
+    # prefix table: the resources workbook's `ontologies` sheet, exactly
+    # like the reference driver (create_mhdb:370-388) — every workbook's
+    # header resolves its harvested prefixes against this one sheet
+    ontologies = load_workbook_tables(spark, "resources", tables_root).get(
+        "ontologies"
+    )
     out: dict[str, dict] = {}
     for name in WORKBOOKS:
-        triples = build_workbook(spark, name, tables_root=tables_root)
+        # materialize once: the renderer needs three actions over the
+        # triple set (prefix harvest, ordered body, count) and the
+        # workbook plans are deep union-of-join trees — without this each
+        # action recomputes the whole plan (measured 3x the runtime)
+        triples = build_workbook(
+            spark, name, tables_root=tables_root
+        ).localCheckpoint()
+        if profile == "owl":
+            from mhdb_tables2turtles_spark.operators.serialize import (
+                owl_profile,
+            )
+
+            triples = owl_profile(triples)
         doc = render_document(
             triples,
             f"{base_uri}/{name}",
             version,
             name,
             f"mhdb {name} workbook (PySpark plan)",
+            prefix_table=ontologies,
         )
+        n_pairs = validate_turtle(doc) if validate else None
         path = os.path.join(out_dir, f"{name}.ttl")
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -177,5 +219,6 @@ def run_all(
         out[name] = {
             "path": path,
             "n_triples": triples.count(),
+            "n_pairs_validated": n_pairs,
         }
     return out

@@ -359,6 +359,88 @@ _SQL_DECONTAMINATE = f"""
 """
 
 
+# ------------------------------------------------------- url_canonical
+
+# deterministic URL fixture (documents has no url column): uppercase
+# scheme/host, default + explicit ports, tracking params, unsorted
+# params, fragments — every rule of the canonicalizer gets traffic
+_SQL_URL = (
+    "'HTTP://WWW.Site'||(doc_id % 7)||'.COM'"
+    "||case when doc_id % 3 = 0 then ':80'"
+    "       when doc_id % 13 = 0 then ':8080' else '' end"
+    "||case when doc_id % 11 = 0 then '' else '/Path/p'||(doc_id % 5) end"
+    "||case when doc_id % 2 = 0 then '?utm_source=x&b=2&a='||(doc_id % 4)"
+    "       when doc_id % 9 = 0 then '?z=1&y=2' else '' end"
+    "||case when doc_id % 4 = 0 then '#frag' else '' end"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """Crawl URL canonicalization (ops/cleaning.py::url_canonicalize)
+    over a deterministic doc_id-derived URL fixture."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"), (d % 7).cast("string"), F.lit(".COM"),
+        F.when(d % 3 == 0, ":80").when(d % 13 == 0, ":8080").otherwise(""),
+        F.when(d % 11 == 0, "").otherwise(
+            F.concat(F.lit("/Path/p"), (d % 5).cast("string"))
+        ),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?utm_source=x&b=2&a="), (d % 4).cast("string")),
+        ).when(d % 9 == 0, "?z=1&y=2").otherwise(""),
+        F.when(d % 4 == 0, "#frag").otherwise(""),
+    )
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return cleaning.url_canonicalize(docs)
+
+
+_SQL_URL_CANONICAL = f"""
+    with u as (select doc_id, {_SQL_URL} as url from documents),
+    parsed as (
+        -- coalesce: DuckDB regexp_extract is NULL on no match where
+        -- Spark's returns '' — normalize to the Spark convention
+        select doc_id, url,
+               coalesce(lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') as scheme,
+               coalesce(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '')
+                   as hostport,
+               coalesce(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '')
+                   as path0,
+               coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') as query
+        from u
+    ),
+    norm as (
+        select doc_id, url, scheme,
+               coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') as host,
+               coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '')
+                   as port,
+               case when path0 = '' then '/' else path0 end as path,
+               -- coalesce: DuckDB list_sort([]) is NULL, Spark's is []
+               coalesce(array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' and not regexp_matches(p,
+                       '{cleaning.TRACKING_PARAM_RE}')
+               )), '&'), '') as qs
+        from parsed
+    )
+    select doc_id, url,
+           scheme || '://' || host
+           || case when port = '' or (scheme = 'http' and port = '80')
+                        or (scheme = 'https' and port = '443')
+                   then '' else ':' || port end
+           || path
+           || case when qs = '' then '' else '?' || qs end
+               as canonical_url,
+           host
+    from norm
+"""
+
+
 # -------------------------------------------------- host_token_quantiles
 
 
@@ -401,6 +483,7 @@ CLEANING_QUERIES = {
     "corpus_ngrams": q_corpus_ngrams,
     "host_token_quantiles": q_host_token_quantiles,
     "decontaminate": q_decontaminate,
+    "url_canonical": q_url_canonical,
 }
 
 
@@ -416,4 +499,5 @@ def cleaning_oracles() -> dict[str, str]:
         "corpus_ngrams": _SQL_CORPUS_NGRAMS,
         "host_token_quantiles": _SQL_HOST_QUANTILES,
         "decontaminate": _SQL_DECONTAMINATE,
+        "url_canonical": _SQL_URL_CANONICAL,
     }

@@ -143,8 +143,6 @@ _SEARCH_TOPK = 5
 def q_embed_ivf_search(spark, sf_dir):
     """IVF probe search (ops/ivf.py::ivf_search): fit the same index as
     embed_ivf, then top-k rerank inside each query's 2 nearest cells."""
-    from pyspark.sql import Window
-
     from mhdb_tables2turtles_spark.ops.common import hash60
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
@@ -152,10 +150,13 @@ def q_embed_ivf_search(spark, sf_dir):
     )
     q = quantize(vecs).cache()
     centroids = kmeans_fit(q, k=_IVF_K, iterations=_IVF_ITERS, dim=_IVF_DIM)
-    w = Window.orderBy(hash60(F.col("vec_id").cast("string")), "vec_id")
+    # distributed top-k (TakeOrderedAndProject), NOT a row_number over an
+    # unpartitioned Window: the global window sorts the entire vector
+    # table on one task, which is exactly the shape that dies at scale —
+    # the 3 smallest (hash, id) keys are the same rows either way
     qrows = (
-        q.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SEARCH_Q)
+        q.orderBy(hash60(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEARCH_Q)
         .select("vec_id", "v")
         .collect()
     )

@@ -56,6 +56,24 @@ def load_golden_triples(
         return set(parse_turtle_body(f.read()))
 
 
+def header_prefixes(
+    path: str = "/root/reference/output/chills.ttl",
+) -> dict[str, str]:
+    """The ontology document's declared prefix table (``PREFIX p: <iri>``
+    lines) — the web pipeline resolves its harvested triple prefixes
+    against this, so a graph that unions the ontology emits a header
+    declaring every prefix the ontology's IRIs use."""
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            m = re.match(r"PREFIX\s+([^:\s]*):\s+<([^>]*)>", line)
+            if m:
+                out[m.group(1)] = m.group(2)
+            elif line.startswith("<"):
+                break
+    return out
+
+
 def _unlit(obj: str) -> str:
     """Language literal -> original-ish cell text."""
     m = _LANG.match(obj)

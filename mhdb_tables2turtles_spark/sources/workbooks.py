@@ -352,6 +352,9 @@ def resources_frames() -> dict[str, pd.DataFrame]:
     # ontologies sheet: the prefix table the reference driver joins the
     # harvested header prefixes against (create_mhdb:370-388); not read
     # by ingest_resources itself, so it is invisible to the parity test
+    # covers every prefix the six workbook plans emit (IRIs follow the
+    # reference's own header table, write_rdf.py:306-318, plus the
+    # public ontology IRIs for the sensor/unit vocabularies)
     ontologies = _frame(
         ["index", "prefix", "iri", "import"],
         [
@@ -359,6 +362,28 @@ def resources_frames() -> dict[str, pd.DataFrame]:
             ("2", "sio", "http://semanticscience.org/resource/", None),
             ("3", "qudt", "http://qudt.org/schema/qudt#", None),
             ("4", "unused", "http://example.org/never-used#", None),
+            ("5", "ssn", "http://www.w3.org/ns/ssn/", None),
+            ("6", "m3-lite", "http://purl.org/iot/vocab/m3-lite#", None),
+            ("7", "schema", "http://schema.org/", None),
+            (
+                "8",
+                "ICD10CM",
+                "http://purl.bioontology.org/ontology/ICD10CM/",
+                None,
+            ),
+            (
+                "9",
+                "ICD9CM",
+                "http://purl.bioontology.org/ontology/ICD9CM/",
+                None,
+            ),
+            ("10", "fabio", "http://purl.org/spar/fabio", None),
+            (
+                "11",
+                "mhdb-resources",
+                "http://www.purl.org/mentalhealth/resources#",
+                None,
+            ),
         ],
     )
     return {

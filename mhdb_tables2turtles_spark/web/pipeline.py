@@ -150,8 +150,13 @@ class KGPipeline:
             import os
 
             from mhdb_tables2turtles_spark.operators.serialize import (
+                FIXED_PREFIXES,
+                harvest_prefixes,
                 render_header,
                 write_body_shards,
+            )
+            from mhdb_tables2turtles_spark.sources.golden import (
+                header_prefixes,
             )
 
             ttl_dir = os.path.join(self.staged.workdir, "ttl")
@@ -162,6 +167,18 @@ class KGPipeline:
             header_path = os.path.join(ttl_dir, "header.ttl")
             if not os.path.exists(header_path):
                 write_body_shards(canonical, ttl_dir)
+                # declare every harvested prefix the graph uses (the
+                # ontology union brings e.g. fabio: in) — resolved
+                # against the ontology document's own prefix table, so
+                # the concatenated header+shards document parses under a
+                # strict Turtle grammar
+                known = header_prefixes(self.ttl_path)
+                fixed = {p for p, _ in FIXED_PREFIXES} | {""}
+                used = [
+                    (p, known[p])
+                    for p in harvest_prefixes(canonical)
+                    if p in known and p not in fixed
+                ]
                 # header file sorts before part-* shards when concatenated
                 tmp = header_path + ".tmp"
                 with open(tmp, "w") as f:
@@ -171,6 +188,7 @@ class KGPipeline:
                             "0.1.0",
                             "webkg",
                             "web-scale KG constructed from crawled pages",
+                            used,
                         )
                     )
                 os.replace(tmp, header_path)

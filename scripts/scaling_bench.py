@@ -18,6 +18,14 @@ windows — single measurements swing 5-10x):
 * the corpus is large enough (default 50k pages, ~5 KB text each) that
   per-page work dominates fixed stage overhead.
 
+Weak-scaling mode (``SPARK_GRAFT_SCALE_MODE=weak``): the page count
+scales WITH the core count (4x pages at 4x cores), so per-core work is
+constant — this separates compute scaling from fixed per-stage overhead
+(job scheduling + stage commit), which at 150k fixed pages dominates the
+tens-of-seconds stage times at local[8] and made the round-2 fixed-size
+2-vs-8 numbers unreadable.  Ideal weak scaling = equal elapsed at both
+configs; efficiency = T_N / T_4N.
+
 Usage:
     python scripts/scaling_bench.py            # full interleaved run + report
     python scripts/scaling_bench.py --one 8 /dev/shm/corpus   # single run
@@ -40,7 +48,16 @@ CONFIGS = tuple(
     for x in os.environ.get("SPARK_GRAFT_SCALE_CONFIGS", "2,8").split(",")
 )
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+# "strong": same input at both configs.  "weak": pages scale with cores
+# (N_PAGES at min(CONFIGS), proportionally more at the larger config).
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "strong")
 FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def pages_for(cpus: int) -> int:
+    if MODE == "weak":
+        return N_PAGES * cpus // min(CONFIGS)
+    return N_PAGES
 
 
 def run_one(cpus: int, corpus_path: str) -> dict:
@@ -48,10 +65,11 @@ def run_one(cpus: int, corpus_path: str) -> dict:
     from bench import build_spark
     from mhdb_tables2turtles_spark.web.pipeline import KGPipeline, build_corpus
 
+    n_pages = pages_for(cpus)
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        build_corpus(spark, N_PAGES, seed=42, partitions=128).write.mode(
+        build_corpus(spark, n_pages, seed=42, partitions=128).write.mode(
             "overwrite"
         ).parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
@@ -71,9 +89,9 @@ def run_one(cpus: int, corpus_path: str) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
-        "n_pages": N_PAGES,
+        "n_pages": n_pages,
         "elapsed_sec": round(elapsed, 2),
-        "pages_per_sec": round(N_PAGES / elapsed, 1),
+        "pages_per_sec": round(n_pages / elapsed, 1),
         "n_triples": n_triples,
         "stages": stage_secs,
     }
@@ -86,7 +104,13 @@ def main() -> None:
         return
 
     corpus_base = tempfile.mkdtemp(prefix="scale_corpus_", dir=FAST_DIR)
-    corpus = os.path.join(corpus_base, "corpus")
+    # weak mode: each config reads its OWN corpus (4x pages at 4x cores)
+    corpus_of = {
+        c: os.path.join(
+            corpus_base, "corpus" if MODE != "weak" else f"corpus_{c}"
+        )
+        for c in CONFIGS
+    }
     runs: dict[int, list[dict]] = {c: [] for c in CONFIGS}
     try:
         for _ in range(REPS):
@@ -97,12 +121,12 @@ def main() -> None:
                         os.path.abspath(__file__),
                         "--one",
                         str(cpus),
-                        corpus,
+                        corpus_of[cpus],
                     ],
                     capture_output=True,
                     text=True,
                     cwd=REPO,
-                    timeout=3000,
+                    timeout=4000,
                     env={**os.environ, "SPARK_GRAFT_SCALE_PAGES": str(N_PAGES)},
                 )
                 lines = [
@@ -118,7 +142,11 @@ def main() -> None:
     best = {c: min(rs, key=lambda r: r["elapsed_sec"]) for c, rs in runs.items()}
     lo, hi = min(CONFIGS), max(CONFIGS)
     r8, r32 = best[lo], best[hi]
-    eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / (hi / lo)
+    if MODE == "weak":
+        # constant per-core work: ideal is equal elapsed -> eff = T_N/T_4N
+        eff = r8["elapsed_sec"] / r32["elapsed_sec"]
+    else:
+        eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / (hi / lo)
 
     # noise-robust estimator: external load windows pollute individual
     # stages independently, so the sum of per-stage minima across reps
@@ -132,12 +160,56 @@ def main() -> None:
         for c, rs in runs.items()
     }
     qt = {c: sum(stage_min[c].values()) for c in CONFIGS}
-    eff_q = (qt[lo] / qt[hi]) / (hi / lo)
+    if MODE == "weak":
+        eff_q = qt[lo] / qt[hi]
+    else:
+        eff_q = (qt[lo] / qt[hi]) / (hi / lo)
 
     def fmt_runs(rs):
         return ", ".join(f"{r['elapsed_sec']}s" for r in rs)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+    if MODE == "weak":
+        report = f"""
+## Weak scaling: {hi // lo}x pages at {hi // lo}x cores (round 3)
+
+Per-core work held constant: local[{lo}] processes {r8['n_pages']}
+pages, local[{hi}] processes {r32['n_pages']} pages of the same
+deterministic corpus family (seed 42).  Ideal = equal elapsed time;
+weak-scaling efficiency = T_N / T_4N.  Same interleaved/per-stage-minima
+noise methodology as the strong-scaling runs above.
+
+| config | pages | elapsed (s) | pages/sec | triples | all reps |
+|---|---|---|---|---|---|
+| local[{lo}] (N) | {r8['n_pages']} | {r8['elapsed_sec']} | {r8['pages_per_sec']} | {r8['n_triples']} | {fmt_runs(runs[lo])} |
+| local[{hi}] (4N) | {r32['n_pages']} | {r32['elapsed_sec']} | {r32['pages_per_sec']} | {r32['n_triples']} | {fmt_runs(runs[hi])} |
+
+**Weak-scaling efficiency: best-total {eff:.3f};
+per-stage-minima (noise-robust) {eff_q:.3f}** (target >= 0.8; ideal 1.0).
+
+Per-stage seconds (minimum across reps per config):
+
+| stage | local[{lo}] @ {r8['n_pages']}p | local[{hi}] @ {r32['n_pages']}p |
+|---|---|---|
+""" + "".join(
+            f"| {s} | {stage_min[lo][s]} | {stage_min[hi][s]} |\n"
+            for s in stage_names
+        ) + f"""
+Quiet-window totals: local[{lo}] {qt[lo]:.1f}s ({r8['n_pages']/qt[lo]:.0f} pages/s), local[{hi}] {qt[hi]:.1f}s ({r32['n_pages']/qt[hi]:.0f} pages/s).
+
+Throughput per core: local[{lo}] {r8['pages_per_sec']/lo:.1f} pages/s/core, local[{hi}] {r32['pages_per_sec']/hi:.1f} pages/s/core.
+
+Reproduce: `SPARK_GRAFT_SCALE_MODE=weak SPARK_GRAFT_SCALE_PAGES={N_PAGES} SPARK_GRAFT_SCALE_CONFIGS={lo},{hi} python scripts/scaling_bench.py`.
+"""
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(report)
+        print(
+            json.dumps(
+                {"mode": "weak", "efficiency": round(eff, 3), "efficiency_quiet": round(eff_q, 3), "quiet_totals": qt, "local_lo": r8, "local_hi": r32}
+            )
+        )
+        return
     report = f"""# BENCH/BASELINE — throughput & scaling evidence
 
 End-to-end KG pipeline (extract → mentions → linking → triples →

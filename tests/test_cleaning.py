@@ -201,3 +201,25 @@ def test_ngram_decontaminate_empty_eval(spark):
     ev = spark.createDataFrame([], "doc_id long, text string")
     [r] = cleaning.ngram_decontaminate(docs, ev, n=2).collect()
     assert (r.n_grams, r.n_hits, r.contaminated) == (3, 0, 0)
+
+
+def test_url_canonicalize(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#frag"),
+            (2, "https://ex.com:8443"),
+            (3, "http://ex.com/?utm_campaign=c&fbclid=z"),
+            (4, "https://Ex.Com:443/p?z=9&a=1"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {r.doc_id: r for r in cleaning.url_canonicalize(docs).collect()}
+    # default port stripped, host/scheme lowered, params sorted, tracking
+    # + fragment dropped
+    assert got[1].canonical_url == "http://www.ex.com/A/b?a=1&b=2"
+    assert got[1].host == "www.ex.com"
+    # non-default port kept; empty path -> /
+    assert got[2].canonical_url == "https://ex.com:8443/"
+    # all params tracking -> no query string at all
+    assert got[3].canonical_url == "http://ex.com/"
+    assert got[4].canonical_url == "https://ex.com/p?a=1&z=9"

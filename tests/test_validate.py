@@ -1,0 +1,185 @@
+"""Strict Turtle grammar validation (operators/validate.py) — the
+sandbox stand-in for the reference's external-parser pass
+(validate_turtle_files.sh), deliberately independent of the lenient
+reader in sources/golden.py — plus kill/resume idempotency of the
+run_all workbook driver (atomic .ttl writes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mhdb_tables2turtles_spark.operators.validate import (
+    TurtleSyntaxError,
+    validate_turtle,
+    validate_ttl_dir,
+)
+
+HDR = "PREFIX : <http://b#>\nPREFIX ex: <http://e#>\n"
+
+
+# ---------- grammar unit coverage ----------
+
+def test_grammar_accepts_emitted_subset():
+    doc = HDR + (
+        ':s a ex:Thing ;\n'
+        '\tex:label "A \\"quoted\\" label"@en ;\n'
+        '\tex:n 3.5 , 42 , 1.0e3 ;\n'
+        '\tex:c """multi\nline ""ok"" text"""^^ex:Text ;\n'
+        '\tex:u "x"^^<http://www.w3.org/2001/XMLSchema#anyURI> .\n\n'
+        '_:b ex:p ( :s 1 "x" ) .\n[ ] ex:p true .\n'
+    )
+    assert validate_turtle(doc) == 9
+
+
+def test_grammar_rejects_malformed_escape():
+    # the exact class the golden round-trip cannot catch: its own parser
+    # would re-read what its own serializer wrote
+    with pytest.raises(TurtleSyntaxError):
+        validate_turtle(HDR + ':s ex:p "bad \\q escape" .')
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        ':s ex:p "x" .',                      # undeclared prefix (no HDR)
+        HDR + ':s ex:p "unterminated .',      # unclosed string
+        HDR + ":s ex:p <http://sp ace> .",    # space in IRIREF
+        HDR + ':s "literal" :o .',            # literal as predicate
+        HDR + ':s ex:p "x"^^5 .',             # non-IRI datatype
+        HDR + ":s ex:p :o",                   # missing terminating dot
+        HDR + ":s ex:p .",                    # missing object
+        HDR + ':s ex:p "x"@en@fr .',          # double language tag
+    ],
+)
+def test_grammar_rejects(bad):
+    with pytest.raises(TurtleSyntaxError):
+        validate_turtle(bad)
+
+
+def test_grammar_accepts_reference_golden_file():
+    # the reference's own emitted output must parse (it passed the
+    # reference's external `ttl` validator when committed)
+    text = open("/root/reference/output/chills.ttl", encoding="utf-8").read()
+    assert validate_turtle(text) > 1600
+
+
+# ---------- emitted artifacts ----------
+
+def test_run_all_outputs_validate(spark, tmp_path):
+    """All six workbook .ttl files pass the strict grammar check (the
+    Spark analogue of the reference's validate_turtle_files.sh pass)."""
+    from mhdb_tables2turtles_spark.plans import runner
+
+    res = runner.run_all(spark, str(tmp_path / "full"))  # validate=True
+    assert set(res) == {
+        "states", "disorders", "resources", "assessments", "measures",
+        "chills",
+    }
+    for name, info in res.items():
+        assert info["n_pairs_validated"] and info["n_pairs_validated"] > 0
+        # and the on-disk artifact re-validates independently
+        assert validate_turtle(
+            open(info["path"], encoding="utf-8").read()
+        ) == info["n_pairs_validated"]
+
+
+def test_run_all_kill_resume(spark, tmp_path, monkeypatch):
+    """run_all is kill/resume-safe: a run that dies mid-sequence (after
+    some atomic writes, with a torn .tmp on disk) is completed by simply
+    re-running, byte-identical to an uninterrupted run.  (Registry
+    restricted to three workbooks to keep the test fast — the protocol
+    is per-workbook, so three exercise it fully.)"""
+    from mhdb_tables2turtles_spark.plans import runner
+
+    # resources must stay in the registry: run_all reads its ontologies
+    # sheet as the header prefix table
+    small = {
+        k: runner.WORKBOOKS[k] for k in ("states", "measures", "resources")
+    }
+    monkeypatch.setattr(runner, "WORKBOOKS", small)
+
+    out1 = str(tmp_path / "full")
+    runner.run_all(spark, out1)
+
+    # --- kill mid-run: die while writing the 2nd workbook ---
+    out2 = str(tmp_path / "killed")
+    orig = runner.render_document
+    calls = {"n": 0}
+
+    def dying_render(*a, **kw):
+        calls["n"] += 1
+        doc = orig(*a, **kw)
+        if calls["n"] == 2:
+            # simulate dying mid-write: torn tmp file then crash
+            os.makedirs(out2, exist_ok=True)
+            with open(os.path.join(out2, "measures.ttl.tmp"), "w") as f:
+                f.write(doc[: len(doc) // 2])
+            raise KeyboardInterrupt("killed mid-write")
+        return doc
+
+    monkeypatch.setattr(runner, "render_document", dying_render)
+    with pytest.raises(KeyboardInterrupt):
+        runner.run_all(spark, out2)
+    monkeypatch.setattr(runner, "render_document", orig)
+
+    done = sorted(f for f in os.listdir(out2) if f.endswith(".ttl"))
+    assert done == ["states.ttl"]  # first workbook committed atomically
+    assert os.path.exists(os.path.join(out2, "measures.ttl.tmp"))
+
+    # --- resume: plain re-run completes; output == uninterrupted run ---
+    runner.run_all(spark, out2)
+    for name in small:
+        a = open(os.path.join(out1, f"{name}.ttl"), encoding="utf-8").read()
+        b = open(os.path.join(out2, f"{name}.ttl"), encoding="utf-8").read()
+        assert a == b, f"{name}.ttl differs after kill/resume"
+
+
+def test_web_pipeline_ttl_shards_validate(spark, tmp_path):
+    """The web pipeline's sharded Turtle output (header.ttl + part files)
+    parses as one concatenated document under the strict grammar."""
+    from mhdb_tables2turtles_spark.web.pipeline import KGPipeline, build_corpus
+
+    wd = str(tmp_path / "kg")
+    corpus = build_corpus(spark, n_pages=30, seed=11, partitions=2)
+    KGPipeline(spark, wd).run(corpus, include_ontology=True, write_turtle=True)
+    n_pairs = validate_ttl_dir(os.path.join(wd, "ttl"))
+    assert n_pairs > 1600  # ontology included: at least the golden pairs
+
+
+def test_owl_profile_vocabulary(spark):
+    """profile="owl" maps the reference's nonstandard tokens to the
+    write_rdf vocabulary (owl:Class / owl:ObjectProperty /
+    owl:equivalentProperty); default profile preserves them verbatim
+    (golden parity is asserted separately in test_golden_chills)."""
+    from mhdb_tables2turtles_spark.operators.serialize import (
+        owl_profile,
+        render_document,
+    )
+    from mhdb_tables2turtles_spark.plans.runner import build_workbook
+
+    triples = build_workbook(spark, "chills").cache()
+    ref = {(r.predicate, r.object) for r in triples.collect()}
+    assert ("a", "rdf:Class") in ref
+    assert ("a", "rdf:Property") in ref
+    assert any(p == "rdfs:equivalentProperty" for p, _ in ref)
+
+    owl_triples = owl_profile(triples)
+    owl = {(r.predicate, r.object) for r in owl_triples.collect()}
+    assert ("a", "owl:Class") in owl and ("a", "rdf:Class") not in owl
+    assert ("a", "owl:ObjectProperty") in owl
+    assert ("a", "rdf:Property") not in owl
+    assert any(p == "owl:equivalentProperty" for p, _ in owl)
+    assert not any(p == "rdfs:equivalentProperty" for p, _ in owl)
+    # everything else unchanged: same triple count, same subjects
+    assert len(owl) == len(ref)
+
+    # the flag-on document still validates under the strict grammar
+    doc = render_document(
+        owl_triples, "http://www.purl.org/mentalhealth/chills", "0.1.0",
+        "chills", "owl profile", prefix_table={"fabio": "http://x/f"},
+    )
+    assert validate_turtle(doc) > 0
+    assert "owl:ObjectProperty" in doc and " rdf:Property" not in doc
