@@ -72,6 +72,10 @@ BENCH_QUERIES = (
     "dedup_clusters",
     "events_asof",
     "decontaminate",
+    # round-3 additions
+    "url_canonical",
+    "text_lm_surprise",
+    "kg_hops",
 )
 
 

@@ -13,7 +13,14 @@ from pyspark.sql import functions as F
 
 from mhdb_tables2turtles_spark.ops.common import hash60, norm_text, shingles, tokens
 
-__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "lm_surprise",
+    "LANG_MARKERS",
+]
 
 # Tiny per-language marker lists (function-word heuristic).  Chosen for
 # determinism, not linguistic coverage — swap for fastText off-sandbox.
@@ -112,4 +119,61 @@ def fingerprint(docs: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         hash60(norm_text(F.col("text"))).alias("content_hash"),
         winnow.alias("winnow_hash"),
+    )
+
+
+# fixed-point scale for the inverse-probability surprise units
+LM_SCALE = 1_000_000
+
+
+def lm_surprise(docs: DataFrame) -> DataFrame:
+    """Corpus-bigram LM surprise per document — the perplexity-style
+    quality/novelty signal LM-data pipelines filter on (docs whose
+    bigrams the corpus model finds improbable score high: boilerplate
+    scores low, gibberish/outliers high):
+    ``(doc_id, n_bigrams, surprise)``.
+
+    The add-one-smoothed bigram probability is
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` (``V`` = corpus distinct
+    token count); a log-sum would be the classic form, but engine libm
+    ``ln`` is not contractually bit-identical, so the score is the
+    fixed-point **inverse-probability sum** instead — monotone in
+    perplexity and exact integer arithmetic end to end::
+
+        surprise = sum over doc bigrams of (LM_SCALE * (c1 + V)) div (c12 + 1)
+
+    Integer sums are associative, so shuffle order is irrelevant and the
+    DuckDB oracle reproduces every value (the same reasoning as
+    web/graphrank.py's fixed-point PageRank).
+
+    Scale shape: two corpus aggregations (bigram counts keyed by gram,
+    unigram counts keyed by token — uniform keys, map-side partial agg)
+    and one join of the exploded doc-bigram stream against each.  The
+    count tables are corpus-vocabulary-sized, so these are plain shuffle
+    joins (NOT broadcast — n-gram vocabulary is unbounded at 10^12
+    docs); the final re-aggregation is keyed by doc_id.  Docs shorter
+    than 2 tokens have no bigrams and drop out, same as
+    ``repetition_stats``.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("gram"),
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    c1 = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    c12 = grams.groupBy("gram").agg(F.count("*").alias("c12"))
+    vocab = toks.select(F.count_distinct("w").alias("V"))
+    return (
+        grams.join(c12, "gram")
+        .join(c1, grams["w1"] == c1["w"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                f"sum(({LM_SCALE} * (c1 + V)) div (c12 + 1))"
+            ).alias("surprise"),
+        )
     )

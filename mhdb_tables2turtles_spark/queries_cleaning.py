@@ -359,6 +359,39 @@ _SQL_DECONTAMINATE = f"""
 """
 
 
+# ----------------------------------------------------- text_lm_surprise
+
+
+def q_text_lm_surprise(spark, sf_dir):
+    """Corpus-bigram LM surprise scoring (ops/text.py::lm_surprise) —
+    fixed-point inverse-probability sum, the perplexity-style quality
+    signal."""
+    from mhdb_tables2turtles_spark.ops.text import lm_surprise
+
+    return lm_surprise(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_LM_SURPRISE = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    tok as (select doc_id, unnest(ts) as w from t),
+    g as (select doc_id, unnest(list_transform(
+              generate_series(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]
+          )) as gram from t),
+    c1 as (select w, count(*) as c1 from tok group by w),
+    c12 as (select gram, count(*) as c12 from g group by gram),
+    v as (select count(distinct w) as V from tok)
+    select g.doc_id,
+           count(*) as n_bigrams,
+           cast(sum((1000000 * (c1.c1 + v.V)) // (c12.c12 + 1)) as bigint)
+               as surprise
+    from g
+    join c12 using (gram)
+    join c1 on c1.w = string_split(g.gram, ' ')[1]
+    cross join v
+    group by g.doc_id
+"""
+
+
 # ------------------------------------------------------- url_canonical
 
 # deterministic URL fixture (documents has no url column): uppercase
@@ -484,6 +517,7 @@ CLEANING_QUERIES = {
     "host_token_quantiles": q_host_token_quantiles,
     "decontaminate": q_decontaminate,
     "url_canonical": q_url_canonical,
+    "text_lm_surprise": q_text_lm_surprise,
 }
 
 
@@ -500,4 +534,5 @@ def cleaning_oracles() -> dict[str, str]:
         "host_token_quantiles": _SQL_HOST_QUANTILES,
         "decontaminate": _SQL_DECONTAMINATE,
         "url_canonical": _SQL_URL_CANONICAL,
+        "text_lm_surprise": _SQL_LM_SURPRISE,
     }

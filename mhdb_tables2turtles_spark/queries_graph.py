@@ -280,12 +280,67 @@ def _sql_triangles(cooc_sql: str) -> str:
 """
 
 
+_BFS_SEEDS = ("spark",)  # seed entity for the hop query
+_BFS_MAX_HOPS = 3
+
+
+def q_kg_hops(spark, sf_dir):
+    """BFS shortest-hop distances from a seed entity over the co-mention
+    graph (web/graphrank.py::bfs_hops) — integer min-plus iteration,
+    engine-exact."""
+    from mhdb_tables2turtles_spark.web.graphrank import bfs_hops
+
+    edges = (
+        q_kg_cooccurrence_edges(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    sources = spark.createDataFrame([(s,) for s in _BFS_SEEDS], ["node"])
+    return bfs_hops(edges, sources, max_hops=_BFS_MAX_HOPS)
+
+
+def q_kg_cooccurrence_edges(spark, sf_dir):
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+
+    return (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    )
+
+
+def _sql_bfs(cooc_sql: str) -> str:
+    seeds = ", ".join(f"('{s}', 0)" for s in _BFS_SEEDS)
+    parts = [
+        f"""with e0 as (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+        ),
+        e as (select term_a as u, term_b as v from e0
+              union all select term_b, term_a from e0),
+        d0(node, hops) as (select * from (values {seeds}) t(n, h))"""
+    ]
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        parts.append(
+            f"""d{i} as (
+            select node, min(hops) as hops from (
+                select node, hops from d{i-1}
+                union all
+                select e.v, d{i-1}.hops + 1 from e
+                join d{i-1} on e.u = d{i-1}.node
+            ) group by node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect node, cast(hops as int) as hops from d{_BFS_MAX_HOPS}"
+    )
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
     "embed_ivf_search": q_embed_ivf_search,
     "events_asof": q_events_asof,
     "kg_triangles": q_kg_triangles,
+    "kg_hops": q_kg_hops,
 }
 
 
@@ -296,4 +351,5 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "embed_ivf_search": _sql_ivf_search(),
         "events_asof": _SQL_EVENTS_ASOF,
         "kg_triangles": _sql_triangles(cooc_sql),
+        "kg_hops": _sql_bfs(cooc_sql),
     }

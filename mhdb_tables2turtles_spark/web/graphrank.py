@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SCALE", "pagerank_fixed", "triangle_counts"]
+__all__ = ["SCALE", "pagerank_fixed", "triangle_counts", "bfs_hops"]
 
 SCALE = 1_000_000
 
@@ -65,6 +65,43 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .select(F.col("v").alias("node"), "pr")
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """(node, hops): shortest-path hop distance from a seed set over the
+    undirected graph given as distinct ``(src, dst)`` pairs, capped at
+    ``max_hops`` (unreached nodes are absent — emit-reached semantics,
+    same as every distributed BFS).  ``sources`` is a one-column
+    ``node`` DataFrame.
+
+    Synchronous min-plus iteration, all integers (engine-exact for the
+    oracle): each round is one shuffle keyed by the destination node —
+    dist' = min(dist, min over neighbors(dist_u + 1)) — with map-side
+    partial min aggregation.  ``max_hops`` bounds the rounds the way an
+    iteration cap bounds PageRank; at web scale the frontier variant
+    (join only nodes whose dist changed) trades a second join for less
+    traffic, worth it once the reached set plateaus.
+    """
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    both = both.cache()
+    dist = sources.select(
+        F.col("node"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    for _ in range(max_hops):
+        via = (
+            both.join(dist, both["u"] == dist["node"])
+            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(via)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

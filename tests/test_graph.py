@@ -176,3 +176,39 @@ def test_triangle_counts(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_bfs_hops(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import bfs_hops
+
+    # path a-b-c-d-e plus isolated edge x-y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["src", "dst"],
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=3).collect()}
+    # undirected distances from a, capped at 3: e (dist 4) unreached,
+    # x/y disconnected -> absent
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # two seeds: min distance wins
+    src2 = spark.createDataFrame([("a",), ("e",)], ["node"])
+    got2 = {r.node: r.hops for r in bfs_hops(edges, src2, max_hops=2).collect()}
+    assert got2 == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
+
+
+def test_lm_surprise_crafted(spark):
+    from mhdb_tables2turtles_spark.ops.text import lm_surprise
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in lm_surprise(docs).collect()}
+    # corpus: c1(a)=3 c1(b)=3 c1(x)=1, V=3; c12("a b")=3, c12("b a")=1
+    # term("a b") = (1e6*(3+3)) div 4 = 1_500_000
+    # term("b a") = (1e6*(3+3)) div 2 = 3_000_000
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    assert (got[1].n_bigrams, got[1].surprise) == (3, 6_000_000)
+    assert (got[2].n_bigrams, got[2].surprise) == (1, 1_500_000)
+    # the common bigram is less surprising than the rare one
+    assert got[2].surprise / got[2].n_bigrams < got[1].surprise / got[1].n_bigrams
