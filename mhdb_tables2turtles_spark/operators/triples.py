@@ -105,6 +105,59 @@ def reify_statements(
     return union_triples(parts)
 
 
+def doi_triples(
+    df: DataFrame, doi_col: str = "doi", title_col: str | None = None
+) -> DataFrame:
+    """DOI -> datacite identifier triples (reference F12 ``doi_iri``,
+    unused_functions.py:752-808): per non-null DOI,
+
+    * ``<https://dx.doi.org/{doi}>  datacite:usesIdentifierScheme  datacite:doi``
+    * ``<https://dx.doi.org/{doi}>  datacite:hasIdentifier  \"\"\"{doi}\"\"\"^^rdfs:Literal``
+    * with ``title_col``: ``rdfs:label  \"\"\"{title}\"\"\"@en``.
+
+    Parity note: the reference function is dead AND broken — it calls
+    ``add_if``/``language_string`` names that exist nowhere in the repo
+    (NameError when invoked), and its committed doctest shows the DOI
+    URL verbatim inside ``<...>``, which predates the current
+    ``check_iri`` (write_ttl.py:249-254) that label-collapses any
+    ``:/``-containing string.  This implementation matches the EXECUTED
+    behavior of the reference with those two names shimmed to their
+    evident intent (verified in tests: subject
+    ``<httpsdxdoiorg...>`` via the same check_iri kernel), and records
+    the stale-doctest conflict here.
+
+    Row-local constant-width emission — no shuffle.
+    """
+    from mhdb_tables2turtles_spark.functions import udfs
+
+    doi = F.col(doi_col)
+    base = df.filter(exclude_filter(doi))
+    subject = udfs.iri(F.concat(F.lit("https://dx.doi.org/"), F.trim(doi)))
+    parts = [
+        base.select(
+            subject.alias("subject"),
+            F.lit("datacite:usesIdentifierScheme").alias("predicate"),
+            F.lit("datacite:doi").alias("object"),
+        ),
+        base.select(
+            subject.alias("subject"),
+            F.lit("datacite:hasIdentifier").alias("predicate"),
+            F.format_string(
+                '"""%s"""^^rdfs:Literal', F.trim(doi)
+            ).alias("object"),
+        ),
+    ]
+    if title_col is not None:
+        parts.append(
+            base.filter(exclude_filter(F.col(title_col))).select(
+                subject.alias("subject"),
+                F.lit("rdfs:label").alias("predicate"),
+                udfs.lang_literal(F.col(title_col)).alias("object"),
+            )
+        )
+    return union_triples(parts)
+
+
 def filter_valid(triples: DataFrame) -> DataFrame:
     """Drop rows whose s/p/o is null-ish (reference add_to_statements
     exclude check, ingest.py:58-60)."""

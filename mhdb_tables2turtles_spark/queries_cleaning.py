@@ -474,6 +474,57 @@ _SQL_URL_CANONICAL = f"""
 """
 
 
+# -------------------------------------------------------- doi_datacite
+
+# deterministic DOI fixture: every 3rd document "has a DOI"
+_SQL_DOI = "'10.'||(1000 + doc_id % 9000)||'/j.'||source||'.'||doc_id"
+
+
+def q_doi_datacite(spark, sf_dir):
+    """DOI -> datacite identifier triples (reference F12,
+    operators/triples.py::doi_triples) over a deterministic
+    doc_id-derived DOI fixture; titles are alnum+space so the
+    language-literal escape chain is a pass-through both engines can
+    express."""
+    from mhdb_tables2turtles_spark.operators.triples import doi_triples
+
+    d = F.col("doc_id")
+    docs = (
+        _read_spread(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("10."), (1000 + d % 9000).cast("string"),
+                F.lit("/j."), F.col("source"), F.lit("."), d.cast("string"),
+            ).alias("doi"),
+            F.concat(F.lit("doc "), d.cast("string")).alias("title"),
+        )
+    )
+    return doi_triples(docs, "doi", title_col="title")
+
+
+_SQL_DOI_DATACITE = f"""
+    with d as (
+        select {_SQL_DOI} as doi, 'doc '||doc_id as title
+        from documents where doc_id % 3 = 0
+    ),
+    s as (
+        -- check_iri label-collapse of a URL == strip non-[A-Za-z0-9_-]
+        select '<'||regexp_replace('https://dx.doi.org/'||doi,
+                   '[^A-Za-z0-9_-]', '', 'g')||'>' as subject,
+               doi, title
+        from d
+    )
+    select subject, 'datacite:usesIdentifierScheme' as predicate,
+           'datacite:doi' as object from s
+    union all
+    select subject, 'datacite:hasIdentifier',
+           '\"\"\"'||doi||'\"\"\"^^rdfs:Literal' from s
+    union all
+    select subject, 'rdfs:label', '\"\"\"'||title||'\"\"\"@en' from s
+"""
+
+
 # -------------------------------------------------- host_token_quantiles
 
 
@@ -518,6 +569,7 @@ CLEANING_QUERIES = {
     "decontaminate": q_decontaminate,
     "url_canonical": q_url_canonical,
     "text_lm_surprise": q_text_lm_surprise,
+    "doi_datacite": q_doi_datacite,
 }
 
 
@@ -535,4 +587,5 @@ def cleaning_oracles() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "url_canonical": _SQL_URL_CANONICAL,
         "text_lm_surprise": _SQL_LM_SURPRISE,
+        "doi_datacite": _SQL_DOI_DATACITE,
     }

@@ -168,3 +168,49 @@ class TestReification:
             (b, ":source", '"""Duck Duck Goose"""@en'),
             (b, ":statementType", ":role"),
         }
+
+
+def test_doi_triples_reference_execution_parity(spark):
+    """F12: run the REFERENCE's doi_iri (dead code — its add_if /
+    language_string names are undefined; shimmed to evident intent) and
+    assert our operator emits the identical triple set."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import numpy as np
+
+    if not hasattr(np, "int"):
+        np.int = int
+    import mhdb.unused_functions as uf
+    from mhdb.write_ttl import language_string as ref_lang
+
+    def add_if(subject, predicate, obj, statements):
+        statements.setdefault(subject, {}).setdefault(predicate, set()).add(obj)
+        return statements
+
+    uf.add_if = add_if
+    uf.language_string = ref_lang
+
+    rows = [
+        (1, "10.1109/IEEESTD.2015.7084073", "1872-2015 - IEEE Standard Ontologies"),
+        (2, "10.1000/xyz(2)", 'quote " in title'),
+        (3, None, "no doi -> no triples"),
+    ]
+    want = set()
+    for _, doi, title in rows:
+        if doi is None:
+            continue
+        st = uf.doi_iri(doi, title, statements={})
+        for s, po in st.items():
+            for p, objs in po.items():
+                for o in objs:
+                    want.add((s, p, o))
+
+    from mhdb_tables2turtles_spark.operators.triples import doi_triples
+
+    df = spark.createDataFrame(rows, ["row_id", "doi", "title"])
+    got = {
+        (r.subject, r.predicate, r.object)
+        for r in doi_triples(df, "doi", title_col="title").collect()
+    }
+    assert got == want
