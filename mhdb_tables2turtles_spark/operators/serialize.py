@@ -200,6 +200,36 @@ def resolve_prefixes(
     return sorted((r.prefix, r.iri) for r in rows)
 
 
+def resolve_used_prefixes(
+    triples: DataFrame, known: dict, on_unknown: str = "skip"
+) -> list[tuple[str, str]]:
+    """Harvested triple prefixes resolved against a ``{prefix: iri}``
+    table -> ordered (prefix, iri) pairs for the header, excluding the
+    fixed and base prefixes.
+
+    ``on_unknown="raise"`` fails loudly when a triple uses a prefix the
+    table cannot declare — the artifact would be undeclared-prefix
+    Turtle, invalid to any strict parser; write paths with no separate
+    validation step must use this mode.
+    """
+    fixed = {p for p, _ in FIXED_PREFIXES} | {""}
+    used: list[tuple[str, str]] = []
+    unknown: list[str] = []
+    for p in harvest_prefixes(triples):
+        if p in fixed:
+            continue
+        if p in known:
+            used.append((p, known[p]))
+        else:
+            unknown.append(p)
+    if unknown and on_unknown == "raise":
+        raise ValueError(
+            "triples use prefixes with no known declaration "
+            f"(header would be invalid Turtle): {sorted(unknown)}"
+        )
+    return used
+
+
 def render_header(
     base_uri: str,
     version: str,
@@ -240,20 +270,15 @@ def render_document(
     ``prefix_table`` is either the resources workbook's ``ontologies``
     sheet as a DataFrame (columns ``prefix``/``iri`` — the plan form,
     resolved via :func:`resolve_prefixes`) or a plain dict."""
-    fixed = {p for p, _ in FIXED_PREFIXES} | {""}
     if isinstance(prefix_table, DataFrame):
+        fixed = {p for p, _ in FIXED_PREFIXES} | {""}
         used = [
             (p, iri)
             for p, iri in resolve_prefixes(triples, prefix_table)
             if p not in fixed
         ]
     else:
-        known = prefix_table or {}
-        used = [
-            (p, known[p])
-            for p in harvest_prefixes(triples)
-            if p in known and p not in fixed
-        ]
+        used = resolve_used_prefixes(triples, prefix_table or {})
     return render_header(base_uri, version, label, comment, used) + render_body(
         triples
     )

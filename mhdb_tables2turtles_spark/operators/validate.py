@@ -87,8 +87,13 @@ _TOKEN = re.compile(
             ("LONGSTR", f"(?:{_STRING_LQ})|(?:{_STRING_LSQ})"),
             ("STRING", f"(?:{_STRING_Q})|(?:{_STRING_SQ})"),
             ("IRIREF", _IRIREF),
-            ("PREFIX_DIR", r"@prefix\b|PREFIX\b"),
-            ("BASE_DIR", r"@base\b|BASE\b"),
+            # negative lookahead, not \b: a LANGTAG may continue with
+            # '-' (e.g. "x"@base-x is a valid tag, not a directive).
+            # Exactly '@prefix'/'@base' lex as directives even after a
+            # string — the W3C Turtle grammar notes sanction this
+            # (neither is a registered language subtag; directives win).
+            ("PREFIX_DIR", r"@prefix(?![A-Za-z0-9-])|PREFIX\b"),
+            ("BASE_DIR", r"@base(?![A-Za-z0-9-])|BASE\b"),
             ("BLANK", _BLANK),
             # PNAME before BOOL/A_KW: `true:x` / `a:x` are prefixed names
             ("PNAME", _PNAME),

@@ -158,16 +158,21 @@ def segment_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
 
 def host_stats(docs: DataFrame, host_col: str = "source") -> DataFrame:
     """Host/source-level crawl aggregates for prioritization and
-    host-level filtering: (host, n_docs, n_unique_texts, dup_ratio,
-    avg_tokens).
+    host-level filtering: (host, n_docs, n_unique_texts, dup_bp,
+    avg_tokens_milli).
 
-    ``dup_ratio`` = 1 − distinct-normalized-content / docs (a host
-    serving the same page under many URLs scores high and gets
-    down-prioritized).  One shuffle keyed by host; content rides as an
-    8-byte hash.  At crawl scale a handful of mega-hosts can skew —
-    the distinct-count is the skew-prone part, and Spark's partial
-    distinct aggregation (AQE skew split) handles it without salting
-    because the per-host value space is already hashed.
+    ``dup_bp`` = 1 − distinct-normalized-content / docs, in integer
+    basis points (a host serving the same page under many URLs scores
+    high and gets down-prioritized); ``avg_tokens_milli`` = mean token
+    count in integer thousandths.  Fixed-point like
+    :func:`repetition_stats`: ``round(double, 4)`` diverges across
+    engines at last-bit rounding ties, integer `div` never does.
+
+    One shuffle keyed by host; content rides as an 8-byte hash.  At
+    crawl scale a handful of mega-hosts can skew — the distinct-count is
+    the skew-prone part, and Spark's partial distinct aggregation (AQE
+    skew split) handles it without salting because the per-host value
+    space is already hashed.
     """
     h = F.col(host_col)
     per_doc = docs.select(
@@ -175,13 +180,16 @@ def host_stats(docs: DataFrame, host_col: str = "source") -> DataFrame:
         hash60(norm_text(F.col("text"))).alias("content_hash"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
-    n = F.count("*")
-    uniq = F.count_distinct("content_hash")
     return per_doc.groupBy("host").agg(
-        n.alias("n_docs"),
-        uniq.alias("n_unique_texts"),
-        F.round(1 - uniq / n, 4).alias("dup_ratio"),
-        F.round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+        F.count_distinct("content_hash").alias("n_unique_texts"),
+        F.expr(
+            "(10000 * (count(*) - count(distinct content_hash)))"
+            " div count(*)"
+        ).alias("dup_bp"),
+        F.expr("(1000 * sum(n_tokens)) div count(*)").alias(
+            "avg_tokens_milli"
+        ),
     )
 
 
@@ -247,18 +255,29 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     * scheme and host lowercased; default port (:80 http / :443 https)
       stripped, other ports kept;
-    * fragment dropped;
+    * fragment dropped (a ``?`` INSIDE the fragment is fragment text,
+      not a query — the query is extracted from the pre-fragment
+      substring only);
     * tracking query parameters removed (:data:`TRACKING_PARAM_RE`),
       survivors sorted bytewise so parameter order never splits a page
       into two frontier entries;
-    * empty path becomes ``/``.
+    * empty path becomes ``/``;
+    * rows without a ``scheme://`` prefix (relative/opaque/malformed
+      frontier entries) pass through UNCHANGED with a null host —
+      collapsing every unparseable URL to one canonical key would make
+      exact-dedup silently merge distinct entries.
 
-    Pure codegen'd column expressions (regexp + higher-order filter /
-    sort on the split parameter array) — row-local, zero shuffle, fuses
-    into the scan; the canonical form is what exact-dedup and host stats
-    key on upstream of fetch at crawl scale.
+    Row-local column expressions, zero shuffle, fuses into the scan.
+    One honest caveat: the tracking-param removal is a higher-order
+    ``filter`` with an ``rlike`` lambda, which Catalyst interprets
+    rather than codegens — over the handful of parameters a URL has
+    this is noise, unlike the per-shingle HOFs this repo moved to numpy
+    kernels; if frontier profiling ever says otherwise, the same
+    mapInPandas-kernel swap applies.  The canonical form is what
+    exact-dedup and host stats key on upstream of fetch at crawl scale.
     """
     url = F.col(url_col)
+    has_scheme = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_extract(hostport, r"^([^:]*)", 1)
@@ -270,7 +289,9 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", "/").otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchor the query before any '#': '?' after the first '#' is
+    # fragment content
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -286,7 +307,12 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         path,
         F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
     )
-    return df.withColumns({"canonical_url": canonical, "host": host})
+    return df.withColumns(
+        {
+            "canonical_url": F.when(has_scheme, canonical).otherwise(url),
+            "host": F.when(has_scheme, host),
+        }
+    )
 
 
 def stratified_sample(

@@ -158,8 +158,13 @@ def run_all(
     ``validate`` runs every rendered document through the strict Turtle
     grammar checker before the atomic write — the Spark analogue of the
     reference's external-parser pass
-    (/root/reference/validate_turtle_files.sh:12-24); a malformed escape
-    or bad IRI aborts the write instead of landing on disk.
+    (/root/reference/validate_turtle_files.sh:12-24).  A document that
+    fails (e.g. a worksheet cell containing a bare backslash, which the
+    reference's escape chain — reproduced verbatim for parity — passes
+    through into the literal) is NOT written; its ``validation_error``
+    is recorded in the result and the remaining workbooks still build,
+    so one bad cell never turns the whole driver run into a crash with
+    no artifacts.
 
     ``profile="owl"`` rewrites the reference's nonstandard vocabulary
     (``rdf:Class``/``rdf:Property``/``rdfs:equivalentProperty``) to the
@@ -178,7 +183,10 @@ def run_all(
     sink here — same choice as ``render_body``'s documented small-graph
     mode.
     """
-    from mhdb_tables2turtles_spark.operators.validate import validate_turtle
+    from mhdb_tables2turtles_spark.operators.validate import (
+        TurtleSyntaxError,
+        validate_turtle,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     # prefix table: the resources workbook's `ontologies` sheet, exactly
@@ -210,15 +218,22 @@ def run_all(
             f"mhdb {name} workbook (PySpark plan)",
             prefix_table=ontologies,
         )
-        n_pairs = validate_turtle(doc) if validate else None
+        n_pairs = err = None
+        if validate:
+            try:
+                n_pairs = validate_turtle(doc)
+            except TurtleSyntaxError as exc:
+                err = str(exc)
         path = os.path.join(out_dir, f"{name}.ttl")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(doc)
-        os.replace(tmp, path)
+        if err is None:
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(doc)
+            os.replace(tmp, path)
         out[name] = {
-            "path": path,
+            "path": path if err is None else None,
             "n_triples": triples.count(),
             "n_pairs_validated": n_pairs,
+            "validation_error": err,
         }
     return out

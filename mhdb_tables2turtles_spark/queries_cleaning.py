@@ -178,9 +178,10 @@ _SQL_HOST_STATS = f"""
     select host,
            count(*) as n_docs,
            count(distinct content_hash) as n_unique_texts,
-           round(1 - count(distinct content_hash) / count(*), 4)
-               as dup_ratio,
-           round(sum(n_tokens) / count(*), 4) as avg_tokens
+           cast((10000 * (count(*) - count(distinct content_hash)))
+                // count(*) as bigint) as dup_bp,
+           cast((1000 * sum(n_tokens)) // count(*) as bigint)
+               as avg_tokens_milli
     from d group by host
 """
 
@@ -396,15 +397,18 @@ _SQL_LM_SURPRISE = f"""
 
 # deterministic URL fixture (documents has no url column): uppercase
 # scheme/host, default + explicit ports, tracking params, unsorted
-# params, fragments — every rule of the canonicalizer gets traffic
+# params, fragments (incl. a '?' INSIDE the fragment), and schemeless
+# relative entries — every rule of the canonicalizer gets traffic
 _SQL_URL = (
+    "case when doc_id % 17 = 0 then 'page'||doc_id||'.html?a=1' else "
     "'HTTP://WWW.Site'||(doc_id % 7)||'.COM'"
     "||case when doc_id % 3 = 0 then ':80'"
     "       when doc_id % 13 = 0 then ':8080' else '' end"
     "||case when doc_id % 11 = 0 then '' else '/Path/p'||(doc_id % 5) end"
     "||case when doc_id % 2 = 0 then '?utm_source=x&b=2&a='||(doc_id % 4)"
     "       when doc_id % 9 = 0 then '?z=1&y=2' else '' end"
-    "||case when doc_id % 4 = 0 then '#frag' else '' end"
+    "||case when doc_id % 4 = 0 then '#frag?f=1' else '' end"
+    " end"
 )
 
 
@@ -412,17 +416,22 @@ def q_url_canonical(spark, sf_dir):
     """Crawl URL canonicalization (ops/cleaning.py::url_canonicalize)
     over a deterministic doc_id-derived URL fixture."""
     d = F.col("doc_id")
-    url = F.concat(
-        F.lit("HTTP://WWW.Site"), (d % 7).cast("string"), F.lit(".COM"),
-        F.when(d % 3 == 0, ":80").when(d % 13 == 0, ":8080").otherwise(""),
-        F.when(d % 11 == 0, "").otherwise(
-            F.concat(F.lit("/Path/p"), (d % 5).cast("string"))
-        ),
-        F.when(
-            d % 2 == 0,
-            F.concat(F.lit("?utm_source=x&b=2&a="), (d % 4).cast("string")),
-        ).when(d % 9 == 0, "?z=1&y=2").otherwise(""),
-        F.when(d % 4 == 0, "#frag").otherwise(""),
+    url = F.when(
+        d % 17 == 0,
+        F.concat(F.lit("page"), d.cast("string"), F.lit(".html?a=1")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (d % 7).cast("string"), F.lit(".COM"),
+            F.when(d % 3 == 0, ":80").when(d % 13 == 0, ":8080").otherwise(""),
+            F.when(d % 11 == 0, "").otherwise(
+                F.concat(F.lit("/Path/p"), (d % 5).cast("string"))
+            ),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit("?utm_source=x&b=2&a="), (d % 4).cast("string")),
+            ).when(d % 9 == 0, "?z=1&y=2").otherwise(""),
+            F.when(d % 4 == 0, "#frag?f=1").otherwise(""),
+        )
     )
     docs = _read_spread(spark, sf_dir, "documents").select(
         "doc_id", url.alias("url")
@@ -436,6 +445,8 @@ _SQL_URL_CANONICAL = f"""
         -- coalesce: DuckDB regexp_extract is NULL on no match where
         -- Spark's returns '' — normalize to the Spark convention
         select doc_id, url,
+               regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                   as has_scheme,
                coalesce(lower(regexp_extract(url,
                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') as scheme,
                coalesce(lower(regexp_extract(url,
@@ -444,11 +455,14 @@ _SQL_URL_CANONICAL = f"""
                coalesce(regexp_extract(url,
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '')
                    as path0,
-               coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') as query
+               -- query anchored before any '#': '?' inside the
+               -- fragment is fragment text
+               coalesce(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '')
+                   as query
         from u
     ),
     norm as (
-        select doc_id, url, scheme,
+        select doc_id, url, has_scheme, scheme,
                coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') as host,
                coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '')
                    as port,
@@ -462,14 +476,15 @@ _SQL_URL_CANONICAL = f"""
         from parsed
     )
     select doc_id, url,
-           scheme || '://' || host
-           || case when port = '' or (scheme = 'http' and port = '80')
-                        or (scheme = 'https' and port = '443')
-                   then '' else ':' || port end
-           || path
-           || case when qs = '' then '' else '?' || qs end
-               as canonical_url,
-           host
+           case when has_scheme then
+               scheme || '://' || host
+               || case when port = '' or (scheme = 'http' and port = '80')
+                            or (scheme = 'https' and port = '443')
+                       then '' else ':' || port end
+               || path
+               || case when qs = '' then '' else '?' || qs end
+           else url end as canonical_url,
+           case when has_scheme then host end as host
     from norm
 """
 

@@ -150,9 +150,8 @@ class KGPipeline:
             import os
 
             from mhdb_tables2turtles_spark.operators.serialize import (
-                FIXED_PREFIXES,
-                harvest_prefixes,
                 render_header,
+                resolve_used_prefixes,
                 write_body_shards,
             )
             from mhdb_tables2turtles_spark.sources.golden import (
@@ -171,14 +170,14 @@ class KGPipeline:
                 # ontology union brings e.g. fabio: in) — resolved
                 # against the ontology document's own prefix table, so
                 # the concatenated header+shards document parses under a
-                # strict Turtle grammar
-                known = header_prefixes(self.ttl_path)
-                fixed = {p for p, _ in FIXED_PREFIXES} | {""}
-                used = [
-                    (p, known[p])
-                    for p in harvest_prefixes(canonical)
-                    if p in known and p not in fixed
-                ]
+                # strict Turtle grammar.  on_unknown="raise": this write
+                # path has no separate validation pass, so a prefix the
+                # table cannot declare must fail HERE, not land as an
+                # invalid artifact behind the header.ttl resume gate
+                used = resolve_used_prefixes(
+                    canonical, header_prefixes(self.ttl_path),
+                    on_unknown="raise",
+                )
                 # header file sorts before part-* shards when concatenated
                 tmp = header_path + ".tmp"
                 with open(tmp, "w") as f:

@@ -92,10 +92,10 @@ def test_host_stats(spark):
     )
     got = {r.host: r for r in cleaning.host_stats(docs).collect()}
     assert (got["h1"].n_docs, got["h1"].n_unique_texts) == (3, 2)
-    assert got["h1"].dup_ratio == pytest.approx(0.3333)
+    assert got["h1"].dup_bp == 3333  # 1/3 in basis points
     assert (got["h2"].n_docs, got["h2"].n_unique_texts) == (1, 1)
-    assert got["h2"].dup_ratio == 0.0
-    assert got["h2"].avg_tokens == pytest.approx(3.0)
+    assert got["h2"].dup_bp == 0
+    assert got["h2"].avg_tokens_milli == 3000
 
 
 def test_stratified_sample_deterministic_and_monotone(spark):
@@ -210,6 +210,12 @@ def test_url_canonicalize(spark):
             (2, "https://ex.com:8443"),
             (3, "http://ex.com/?utm_campaign=c&fbclid=z"),
             (4, "https://Ex.Com:443/p?z=9&a=1"),
+            # '?' INSIDE the fragment is fragment text, not a query
+            (5, "http://ex.com/p#sec?x=1"),
+            # schemeless/opaque entries pass through unchanged (merging
+            # them all to one canonical key would corrupt exact-dedup)
+            (6, "page1.html?a=1"),
+            (7, "mailto:user@ex.com"),
         ],
         ["doc_id", "url"],
     )
@@ -223,3 +229,7 @@ def test_url_canonicalize(spark):
     # all params tracking -> no query string at all
     assert got[3].canonical_url == "http://ex.com/"
     assert got[4].canonical_url == "https://ex.com/p?a=1&z=9"
+    assert got[5].canonical_url == "http://ex.com/p"  # no phantom query
+    assert got[6].canonical_url == "page1.html?a=1"
+    assert got[7].canonical_url == "mailto:user@ex.com"
+    assert got[6].host is None and got[7].host is None

@@ -59,6 +59,16 @@ def test_grammar_rejects(bad):
         validate_turtle(bad)
 
 
+def test_grammar_langtag_vs_directive_tokens():
+    # '@base-x' / '@prefixed' are valid LANGTAGs, not directives
+    assert validate_turtle(HDR + ':s ex:p "x"@base-x .') == 1
+    assert validate_turtle(HDR + ':s ex:p "x"@prefixed .') == 1
+    # exactly '@prefix' after a string is a directive token per the W3C
+    # grammar notes (not a registered language subtag) -> syntax error
+    with pytest.raises(TurtleSyntaxError):
+        validate_turtle(HDR + ':s ex:p "x"@prefix .')
+
+
 def test_grammar_accepts_reference_golden_file():
     # the reference's own emitted output must parse (it passed the
     # reference's external `ttl` validator when committed)
@@ -183,3 +193,53 @@ def test_owl_profile_vocabulary(spark):
     )
     assert validate_turtle(doc) > 0
     assert "owl:ObjectProperty" in doc and " rdf:Property" not in doc
+
+
+def test_run_all_records_validation_error_and_continues(
+    spark, tmp_path, monkeypatch
+):
+    """A workbook whose document fails the grammar check is NOT written,
+    its error is recorded, and the remaining workbooks still build —
+    one bad cell never crashes the whole driver run."""
+    from mhdb_tables2turtles_spark.plans import runner
+
+    small = {
+        k: runner.WORKBOOKS[k] for k in ("states", "measures", "resources")
+    }
+    monkeypatch.setattr(runner, "WORKBOOKS", small)
+    orig = runner.render_document
+    calls = {"n": 0}
+
+    def poisoned_render(*a, **kw):
+        calls["n"] += 1
+        doc = orig(*a, **kw)
+        if calls["n"] == 1:  # first workbook gets an invalid escape
+            return doc + '\n:bad :cell """C:\\path\\q file""" .\n'
+        return doc
+
+    monkeypatch.setattr(runner, "render_document", poisoned_render)
+    out = str(tmp_path / "ttl")
+    res = runner.run_all(spark, out)
+    assert res["states"]["path"] is None
+    assert "line" in res["states"]["validation_error"]
+    assert not os.path.exists(os.path.join(out, "states.ttl"))
+    for name in ("measures", "resources"):
+        assert res[name]["validation_error"] is None
+        assert os.path.exists(res[name]["path"])
+
+
+def test_web_pipeline_raises_on_undeclarable_prefix(spark, tmp_path):
+    """The web write path has no separate validation pass, so a triple
+    prefix the ontology header cannot declare must fail at header-write
+    time instead of landing an invalid artifact behind the resume gate."""
+    from mhdb_tables2turtles_spark.operators.serialize import (
+        resolve_used_prefixes,
+    )
+
+    t = spark.createDataFrame(
+        [(":s", "wd:undeclared", ":o")], ["subject", "predicate", "object"]
+    )
+    with pytest.raises(ValueError, match="wd"):
+        resolve_used_prefixes(t, {"fabio": "http://x/"}, on_unknown="raise")
+    # skip mode (used where a later validation pass exists) drops it
+    assert resolve_used_prefixes(t, {"fabio": "http://x/"}) == []
