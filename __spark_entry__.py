@@ -34,8 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable equivalents (omitted for iterative / 1->N
-    mapInPandas ops, which get the driver's rows-only check)."""
+    """DuckDB-runnable equivalents — one per query, no rows-only
+    omissions: iterative ops (PageRank, k-means, BFS, connected
+    components) unroll as chained CTEs, stateful per-row ops (packing)
+    as recursive CTEs, all in engine-exact integer fixed-point."""
     from mhdb_tables2turtles_spark.queries import oracles
 
     return oracles()

@@ -51,6 +51,9 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 # "strong": same input at both configs.  "weak": pages scale with cores
 # (N_PAGES at min(CONFIGS), proportionally more at the larger config).
 MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "strong")
+# append a dated strong-mode section instead of overwriting the curated
+# BENCH/BASELINE.md (weak mode always appends)
+APPEND = os.environ.get("SPARK_GRAFT_SCALE_APPEND", "") == "1"
 FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
@@ -210,7 +213,13 @@ Reproduce: `SPARK_GRAFT_SCALE_MODE=weak SPARK_GRAFT_SCALE_PAGES={N_PAGES} SPARK_
             )
         )
         return
-    report = f"""# BENCH/BASELINE — throughput & scaling evidence
+    title = (
+        "\n## Strong scaling re-run (appended)\n\nSame methodology as the"
+        " table at the top of this file, re-measured on the current code.\n"
+        if APPEND
+        else "# BENCH/BASELINE — throughput & scaling evidence\n"
+    )
+    report = title + f"""
 
 End-to-end KG pipeline (extract → mentions → linking → triples →
 canonicalize, every stage committed with manifests + lineage) over the
@@ -252,7 +261,9 @@ Determinism check: both configs produced identical triple counts
 Reproduce: `python scripts/scaling_bench.py`
 (`SPARK_GRAFT_SCALE_PAGES`, `SPARK_GRAFT_SCALE_REPS` override size/reps).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(
+        os.path.join(REPO, "BENCH", "BASELINE.md"), "a" if APPEND else "w"
+    ) as f:
         f.write(report)
     print(
         json.dumps(
