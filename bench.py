@@ -76,6 +76,8 @@ BENCH_QUERIES = (
     "url_canonical",
     "text_lm_surprise",
     "kg_hops",
+    "events_range_join",
+    "kg_lpa",
 )
 
 

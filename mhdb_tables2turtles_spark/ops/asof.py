@@ -1,5 +1,5 @@
-"""As-of (most-recent-prior) join — the classic time-series operator
-Spark's DataFrame API lacks.
+"""As-of (most-recent-prior) join and banded range join — the two
+classic time-series operators Spark's DataFrame API lacks.
 
 For every left row, attach the latest right row with the same key whose
 timestamp is <= the left timestamp (inclusive, matching DuckDB's native
@@ -24,7 +24,73 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Banded interval join: every (left, right) pair sharing ``keys``
+    with ``right_time - left_time`` in ``[lower_us, upper_us]``
+    microseconds (inclusive).  Output = all left columns + all
+    non-key right columns.
+
+    Catalyst plans a bare time-inequality join as a per-key cross
+    product (BroadcastNestedLoopJoin / O(L x R) per key) — the classic
+    Spark range-join trap.  This implementation buckets both sides by
+    ``floor(epoch_us / band)`` with ``band = upper_us - lower_us +
+    1`` and equi-joins on ``(keys..., bucket)`` with the left side
+    replicated into the (at most) two buckets its window can reach:
+    every qualifying pair shares one of those bucket ids, so the exact
+    time predicate applied AFTER the equi-join loses nothing, and the
+    join is a plain hash/sort-merge shuffle with uniform keys —
+    O(matches) work, survives 10^12 rows.
+
+    The right side must carry tz-free timestamps in both engines'
+    semantics (``events.ts`` style); arithmetic is integer
+    microseconds end to end, so the DuckDB inequality-join oracle is
+    value-exact.  Non-key column names must be disjoint between the
+    sides (alias before calling), as with any natural join.
+    """
+    keys = list(keys)
+    band = upper_us - lower_us + 1
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+    lt_us = F.expr(f"timestampdiff(MICROSECOND, {epoch}, {left_time})")
+    rt_us = F.expr(f"timestampdiff(MICROSECOND, {epoch}, {right_time})")
+
+    # left row can match right times in [lt+lower, lt+upper] — that
+    # window touches exactly the buckets of its two endpoints.
+    # Integer `div`, not floor(double/): epoch-µs values overflow a
+    # double's 2^53 integer range within a few centuries, and div on
+    # longs is exact (post-1970 timestamps are positive, where div ==
+    # floor division).
+    l = left.withColumn("__lt_us", lt_us).withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(__lt_us + {lower_us}) div {band}"),
+                    F.expr(f"(__lt_us + {upper_us}) div {band}"),
+                )
+            )
+        ),
+    )
+    r = right.withColumn("__rt_us", rt_us).withColumn(
+        "__bucket", F.expr(f"__rt_us div {band}")
+    )
+    rcols = [c for c in right.columns if c not in keys]
+    joined = l.join(r, [*keys, "__bucket"]).filter(
+        (F.col("__rt_us") - F.col("__lt_us") >= lower_us)
+        & (F.col("__rt_us") - F.col("__lt_us") <= upper_us)
+    )
+    return joined.select(*left.columns, *rcols)
 
 
 def asof_join(

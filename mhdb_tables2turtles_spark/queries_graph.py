@@ -236,6 +236,53 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+_RANGE_WINDOW_US = 3_600_000_000  # purchases within 1 hour after a click
+
+
+def q_events_range_join(spark, sf_dir):
+    """Banded interval join (ops/asof.py::range_join): every
+    (click, purchase) pair per user with the purchase 0..1h after the
+    click — bucketed equi-join, NOT the nested-loop plan Catalyst gives
+    a bare inequality join.  Output times as epoch-µs longs."""
+    from mhdb_tables2turtles_spark.ops.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    j = range_join(
+        clicks, purchases, keys=["user_id"], left_time="ts",
+        right_time="p_ts", lower_us=0, upper_us=_RANGE_WINDOW_US,
+    )
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("click_us"),
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, p_ts)").alias(
+            "purchase_us"
+        ),
+        "p_value",
+    )
+
+
+_SQL_EVENTS_RANGE = f"""
+    with l as (select event_id, user_id, ts from events
+               where event_type = 'click'),
+    r as (select user_id, ts, value from events
+          where event_type = 'purchase')
+    select l.event_id, l.user_id,
+           epoch_us(l.ts) as click_us,
+           epoch_us(r.ts) as purchase_us,
+           r.value as p_value
+    from l join r on l.user_id = r.user_id
+     and epoch_us(r.ts) - epoch_us(l.ts) between 0 and {_RANGE_WINDOW_US}
+"""
+
+
 _SQL_EVENTS_ASOF = """
     with l as (select event_id, user_id, ts from events
                where event_type = 'click'),
@@ -334,13 +381,58 @@ def _sql_bfs(cooc_sql: str) -> str:
     )
 
 
+_LPA_ITERS = 3
+
+
+def q_kg_lpa(spark, sf_dir):
+    """Deterministic label-propagation communities over the co-mention
+    graph (web/graphrank.py::label_propagation)."""
+    from mhdb_tables2turtles_spark.web.graphrank import label_propagation
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    return label_propagation(edges, iterations=_LPA_ITERS)
+
+
+def _sql_lpa(cooc_sql: str) -> str:
+    parts = [
+        f"""with e0 as (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+        ),
+        e as (select term_a as u, term_b as v from e0
+              union all select term_b, term_a from e0),
+        l0 as (select distinct u as node, u as label from e)"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f"""l{i} as (
+            select node, label from (
+                select e.v as node, l{i-1}.label,
+                       row_number() over (
+                           partition by e.v
+                           order by count(*) desc, l{i-1}.label
+                       ) as rk
+                from e join l{i-1} on e.u = l{i-1}.node
+                group by e.v, l{i-1}.label
+            ) where rk = 1)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect node, label as community from l{_LPA_ITERS}"
+    )
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
     "embed_ivf_search": q_embed_ivf_search,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "kg_triangles": q_kg_triangles,
     "kg_hops": q_kg_hops,
+    "kg_lpa": q_kg_lpa,
 }
 
 
@@ -350,6 +442,8 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "embed_ivf": _sql_ivf(),
         "embed_ivf_search": _sql_ivf_search(),
         "events_asof": _SQL_EVENTS_ASOF,
+        "events_range_join": _SQL_EVENTS_RANGE,
         "kg_triangles": _sql_triangles(cooc_sql),
         "kg_hops": _sql_bfs(cooc_sql),
+        "kg_lpa": _sql_lpa(cooc_sql),
     }

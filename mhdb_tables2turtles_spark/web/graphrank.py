@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SCALE", "pagerank_fixed", "triangle_counts", "bfs_hops"]
+__all__ = [
+    "SCALE",
+    "pagerank_fixed",
+    "triangle_counts",
+    "bfs_hops",
+    "label_propagation",
+]
 
 SCALE = 1_000_000
 
@@ -65,6 +71,44 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .select(F.col("v").alias("node"), "pr")
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(node, community): synchronous label propagation over the
+    undirected graph given as distinct ``(src, dst)`` pairs — the
+    GraphFrames-style community detector, made DETERMINISTIC so the
+    DuckDB oracle reproduces it: every node starts as its own label,
+    and each round adopts the most frequent label among its neighbors,
+    breaking count ties by minimum label (classic LPA leaves ties to
+    hash order, which no oracle can mirror).
+
+    Scale shape per round: one join keyed by the label-holder node and
+    one (node, label) count aggregation with map-side partials — the
+    same two-shuffle pattern as a PageRank round; hub skew lands on the
+    count aggregation where AQE skew-split applies.  A fixed iteration
+    cap (not convergence) bounds the rounds, as with
+    :func:`pagerank_fixed`.
+    """
+    from pyspark.sql import Window
+
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    both = both.cache()
+    labels = both.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.col("label"))
+    for _ in range(iterations):
+        labels = (
+            both.join(labels, both["u"] == labels["node"])
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
 
 
 def bfs_hops(

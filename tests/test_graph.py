@@ -212,3 +212,65 @@ def test_lm_surprise_crafted(spark):
     assert (got[2].n_bigrams, got[2].surprise) == (1, 1_500_000)
     # the common bigram is less surprising than the rare one
     assert got[2].surprise / got[2].n_bigrams < got[1].surprise / got[1].n_bigrams
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Banded interval join: inclusive bounds, bucket-boundary pairs
+    found, other keys invisible — and the plan is an equi-join, not the
+    nested-loop cross product Catalyst gives a bare inequality join."""
+    from datetime import datetime
+
+    from mhdb_tables2turtles_spark.ops.asof import range_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, 0, s)  # microsecond arg
+    left = spark.createDataFrame(
+        [(1, "u1", t(100)), (2, "u1", t(500)), (3, "u2", t(100))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(100), 1.0),   # dt=0 from event 1 (inclusive lower)
+            ("u1", t(150), 2.0),   # dt=50 from event 1
+            ("u1", t(200), 3.0),   # dt=100 from event 1 (inclusive upper)
+            ("u1", t(201), 4.0),   # dt=101 -> out of window
+            ("u1", t(549), 5.0),   # dt=49 from event 2, crosses a
+                                   # band=101 bucket boundary (505/606)
+            ("u3", t(120), 6.0),   # other key
+        ],
+        ["user_id", "p_ts", "p_value"],
+    )
+    j = range_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="p_ts",
+        lower_us=0, upper_us=100,
+    )
+    got = {(r.event_id, r.p_value) for r in j.collect()}
+    assert got == {(1, 1.0), (1, 2.0), (1, 3.0), (2, 5.0)}
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_label_propagation_two_cliques(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import label_propagation
+
+    # two triangles joined by one weak bridge: LPA separates them
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+            ("a3", "b1"),  # bridge
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b1"] == got["b2"] == got["b3"]
+    assert got["a1"] != got["b1"]
+    # deterministic: identical on rerun
+    again = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert again == got
