@@ -78,6 +78,8 @@ BENCH_QUERIES = (
     "kg_hops",
     "events_range_join",
     "kg_lpa",
+    "kg_link_predict",
+    "mix_weights",
 )
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "stratified_sample",
     "ngram_decontaminate",
     "url_canonicalize",
+    "mix_weights",
 ]
 
 # Ordered (name, pattern, replacement): redaction applies in this order,
@@ -312,6 +313,39 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
             "canonical_url": F.when(has_scheme, canonical).otherwise(url),
             "host": F.when(has_scheme, host),
         }
+    )
+
+
+def mix_weights(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Temperature-based training-mix weights per stratum (the
+    multilingual/multi-source sampling rule of mT5/XLM-R, temperature
+    2 == alpha 0.5): ``(stratum, n_docs, n_tokens, weight_bp)`` with
+    ``weight_bp`` proportional to ``n_tokens^0.5``, normalized to
+    ~10000 basis points — upsamples small sources, tempers huge ones.
+
+    Engine-exact without fixed-point roots: IEEE-754 ``sqrt`` is
+    correctly rounded in every conforming implementation (JVM
+    ``Math.sqrt`` == DuckDB libm), so ``floor(1000 * sqrt(T))``
+    quantizes identically; all arithmetic after that is integer, so
+    the normalization is shuffle-order-independent.  One stratum-keyed
+    aggregation plus a broadcast of the stratum-count-sized total.
+    """
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "__s", F.floor(F.lit(1000) * F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    total = per.select(F.sum("__s").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            F.expr("(10000 * __s) div __total").alias("weight_bp"),
+        )
     )
 
 

@@ -489,6 +489,31 @@ _SQL_URL_CANONICAL = f"""
 """
 
 
+# ---------------------------------------------------------- mix_weights
+
+
+def q_mix_weights(spark, sf_dir):
+    """Temperature-0.5 training-mix weights per source
+    (ops/cleaning.py::mix_weights)."""
+    return cleaning.mix_weights(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_MIX_WEIGHTS = f"""
+    with per as (
+        select source as stratum,
+               count(*) as n_docs,
+               cast(sum(len({_TOKS})) as bigint) as n_tokens
+        from documents group by source
+    ),
+    q as (select *, cast(floor(1000 * sqrt(n_tokens)) as bigint) as s
+          from per),
+    t as (select sum(s) as total from q)
+    select stratum, n_docs, n_tokens,
+           cast((10000 * s) // t.total as bigint) as weight_bp
+    from q, t
+"""
+
+
 # -------------------------------------------------------- doi_datacite
 
 # deterministic DOI fixture: every 3rd document "has a DOI"
@@ -585,6 +610,7 @@ CLEANING_QUERIES = {
     "url_canonical": q_url_canonical,
     "text_lm_surprise": q_text_lm_surprise,
     "doi_datacite": q_doi_datacite,
+    "mix_weights": q_mix_weights,
 }
 
 
@@ -603,4 +629,5 @@ def cleaning_oracles() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "text_lm_surprise": _SQL_LM_SURPRISE,
         "doi_datacite": _SQL_DOI_DATACITE,
+        "mix_weights": _SQL_MIX_WEIGHTS,
     }

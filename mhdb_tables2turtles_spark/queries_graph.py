@@ -424,6 +424,60 @@ def _sql_lpa(cooc_sql: str) -> str:
     )
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """Common-neighbors / Jaccard link prediction over the co-mention
+    graph (web/graphrank.py::link_predict) — KG-completion candidates
+    for non-adjacent entity pairs.
+
+    The synthetic vocabulary co-mention graph is complete (every term
+    pair co-occurs), which leaves no pair to predict — so the fixture
+    deterministically drops ~2/3 of the edges by md5 hash (the same
+    self-contained-fixture device as the PII decoration); the operator
+    under test is unchanged."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.graphrank import link_predict
+
+    edges = (
+        q_kg_cooccurrence_edges(spark, sf_dir)
+        .filter(
+            hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+        )
+        .localCheckpoint(eager=False)
+    )
+    return link_predict(edges)
+
+
+def _sql_link_predict(cooc_sql: str) -> str:
+    return f"""
+    with e0 as (
+        select term_a, term_b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+          and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT % 3 = 0
+    ),
+    e as (select term_a as u, term_b as v from e0
+          union all select term_b, term_a from e0),
+    deg as (select u, count(*) as deg from e group by u),
+    wedges as (
+        select a.v as a, b.v as b, count(*) as n_common
+        from e a join e b on a.u = b.u
+        where a.v < b.v
+        group by a.v, b.v
+    ),
+    cand as (
+        select w.* from wedges w
+        anti join (select least(term_a, term_b) as a,
+                          greatest(term_a, term_b) as b from e0) x
+        using (a, b)
+    )
+    select cand.a as node_a, cand.b as node_b, cand.n_common,
+           cast((10000 * cand.n_common)
+                // (da.deg + db.deg - cand.n_common) as bigint) as jaccard_bp
+    from cand
+    join deg da on da.u = cand.a
+    join deg db on db.u = cand.b
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -433,6 +487,7 @@ GRAPH_QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_hops": q_kg_hops,
     "kg_lpa": q_kg_lpa,
+    "kg_link_predict": q_kg_link_predict,
 }
 
 
@@ -446,4 +501,5 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "kg_triangles": _sql_triangles(cooc_sql),
         "kg_hops": _sql_bfs(cooc_sql),
         "kg_lpa": _sql_lpa(cooc_sql),
+        "kg_link_predict": _sql_link_predict(cooc_sql),
     }

@@ -233,3 +233,19 @@ def test_url_canonicalize(spark):
     assert got[6].canonical_url == "page1.html?a=1"
     assert got[7].canonical_url == "mailto:user@ex.com"
     assert got[6].host is None and got[7].host is None
+
+
+def test_mix_weights_temperature(spark):
+    # sources with 100x token imbalance: sqrt tempering gives the small
+    # source ~10x its proportional share, weights sum to ~10000 bp
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 400), "big") for i in range(25)]
+        + [(100, " ".join(["w"] * 100), "small")],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.stratum: r for r in cleaning.mix_weights(docs).collect()}
+    assert got["big"].n_tokens == 10000 and got["small"].n_tokens == 100
+    # proportional shares would be 9900/99 bp; sqrt tempering: 10:1
+    assert got["small"].weight_bp == 909   # 100/(1000+100) in bp
+    assert got["big"].weight_bp == 9090
+    assert 9998 <= got["big"].weight_bp + got["small"].weight_bp <= 10000

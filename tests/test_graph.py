@@ -274,3 +274,25 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, iterations=4).collect()
     }
     assert again == got
+
+
+def test_link_predict_crafted(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import link_predict
+
+    # path a-w-b plus w-c: non-adjacent pairs through w
+    edges = spark.createDataFrame(
+        [("w", "a"), ("w", "b"), ("w", "c"), ("a", "x")], ["src", "dst"]
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard_bp)
+        for r in link_predict(edges).collect()
+    }
+    # a,b share neighbor w: deg(a)=2 {w,x}, deg(b)=1 {w} -> J=1/2
+    assert got[("a", "b")] == (1, 5000)
+    assert got[("b", "c")] == (1, 10000)  # both degree-1, only w
+    assert got[("a", "c")] == (1, 5000)
+    # w,x share neighbor a: deg(w)=3, deg(x)=1 -> 1/3
+    assert got[("w", "x")] == (1, 3333)
+    # adjacent pairs never appear
+    assert ("a", "w") not in got and ("w", "a") not in got
+    assert len(got) == 4
