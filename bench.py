@@ -80,6 +80,8 @@ BENCH_QUERIES = (
     "kg_lpa",
     "kg_link_predict",
     "mix_weights",
+    "ann_recall",
+    "corpus_curation",
 )
 
 

@@ -971,6 +971,38 @@ def _sql_ann(k: int = 5, n_planes: int = 4, n_tables: int = 8) -> str:
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Measure, don't guess: recall@5 of the LSH ANN against the
+    brute-force exact top-5, per query vector, in integer basis points —
+    the evaluation harness an ANN index ships with.  Pure composition of
+    the two existing operators plus one join."""
+    exact = q_embed_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_embed_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.expr("(10000 * count(hit)) div count(*)").alias("recall_bp"),
+        )
+    )
+
+
+_SQL_ANN_RECALL_TEMPLATE = """
+    with ex as ({topk}),
+    an as ({ann})
+    select ex.query_id,
+           count(*) as k,
+           cast((10000 * count(an.neighbor_id)) // count(*) as bigint)
+               as recall_bp
+    from ex left join an
+      on ex.query_id = an.query_id and ex.neighbor_id = an.neighbor_id
+    group by ex.query_id
+"""
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets (tau tuned to the
     synthetic corpus's cosine range)."""
@@ -1086,6 +1118,7 @@ QUERIES = {
     "embed_lsh_buckets": q_embed_lsh_buckets,
     "embed_ann": q_embed_ann,
     "embed_near_dup": q_embed_near_dup,
+    "ann_recall": q_ann_recall,
     "multimodal_sniff": q_multimodal_sniff,
     "multimodal_frames": q_multimodal_frames,
 }
@@ -1152,6 +1185,9 @@ def oracles() -> dict[str, str]:
         "embed_lsh_buckets": _sql_lsh_buckets(),
         "embed_ann": _sql_ann(),
         "embed_near_dup": _sql_near_dup(),
+        "ann_recall": _SQL_ANN_RECALL_TEMPLATE.format(
+            topk=_SQL_TOPK, ann=_sql_ann()
+        ),
         "multimodal_sniff": _SQL_SNIFF,
         "multimodal_frames": _SQL_FRAMES,
         **sheet_oracles(),

@@ -489,6 +489,83 @@ _SQL_URL_CANONICAL = f"""
 """
 
 
+# ------------------------------------------------------ corpus_curation
+
+# drop thresholds for the composed curation verdict
+_CUR_REP_BP = 2000     # > 20% duplicated bigram mass -> repetitive
+_CUR_QUALITY = 0.5     # composite quality floor
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The curation pipeline's end artifact — ONE keep/drop verdict per
+    document composing every filter family (the FineWeb/Gopher-style
+    decision): exact dup > near dup > benchmark-contaminated >
+    repetitive (dup-bigram mass > 20%) > low quality (< 0.5) > keep.
+    Pure composition of committed operators; each signal joins on
+    doc_id (uniform 8-byte key), so the composition adds no new scale
+    hazard beyond its inputs."""
+    from mhdb_tables2turtles_spark.queries import q_dedup_decisions
+
+    dd = q_dedup_decisions(spark, sf_dir).select(
+        "doc_id", F.col("reason").alias("dd_reason")
+    )
+    de = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    rep = q_text_repetition(spark, sf_dir).select(
+        "doc_id", "dup_bigram_bp"
+    )
+    from mhdb_tables2turtles_spark.ops.text import quality_score
+
+    qu = quality_score(_read_spread(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    j = (
+        dd.join(de, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(qu, "doc_id")
+    )
+    reason = (
+        F.when(F.col("dd_reason") != "keep", F.col("dd_reason"))
+        .when(F.col("contaminated") == 1, "contaminated")
+        .when(F.coalesce(F.col("dup_bigram_bp"), F.lit(0)) > _CUR_REP_BP,
+              "repetitive")
+        .when(F.col("quality") < _CUR_QUALITY, "low_quality")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
+def _sql_corpus_curation() -> str:
+    # lazy import: queries.py imports this module at its bottom; by the
+    # time oracles() runs, both modules are fully initialized
+    from mhdb_tables2turtles_spark.queries import (
+        _SQL_DEDUP_DECISIONS,
+        _SQL_QUALITY,
+    )
+
+    return f"""
+    with dd as ({_SQL_DEDUP_DECISIONS}),
+    de as ({_SQL_DECONTAMINATE}),
+    rep as ({_SQL_REPETITION}),
+    qu as ({_SQL_QUALITY}),
+    r as (
+        select dd.doc_id,
+               case when dd.reason <> 'keep' then dd.reason
+                    when de.contaminated = 1 then 'contaminated'
+                    when coalesce(rep.dup_bigram_bp, 0) > {_CUR_REP_BP}
+                        then 'repetitive'
+                    when qu.quality < {_CUR_QUALITY} then 'low_quality'
+                    else 'keep' end as reason
+        from dd
+        join de using (doc_id)
+        left join rep using (doc_id)
+        join qu using (doc_id)
+    )
+    select doc_id, reason, reason = 'keep' as keep from r
+"""
+
+
 # ---------------------------------------------------------- mix_weights
 
 
@@ -611,6 +688,7 @@ CLEANING_QUERIES = {
     "text_lm_surprise": q_text_lm_surprise,
     "doi_datacite": q_doi_datacite,
     "mix_weights": q_mix_weights,
+    "corpus_curation": q_corpus_curation,
 }
 
 
@@ -630,4 +708,5 @@ def cleaning_oracles() -> dict[str, str]:
         "text_lm_surprise": _SQL_LM_SURPRISE,
         "doi_datacite": _SQL_DOI_DATACITE,
         "mix_weights": _SQL_MIX_WEIGHTS,
+        "corpus_curation": _sql_corpus_curation(),
     }
