@@ -125,8 +125,13 @@ def fingerprint(docs: DataFrame, k: int = 5) -> DataFrame:
 # fixed-point scale for the inverse-probability surprise units
 LM_SCALE = 1_000_000
 
+# head grams broadcast in the two-tier count join: at Zipf exponent ~1
+# the K most frequent bigrams carry the bulk of the instance stream, so
+# resolving them map-side removes the hot shuffle keys entirely
+LM_HEAD_K = 4096
 
-def lm_surprise(docs: DataFrame) -> DataFrame:
+
+def lm_surprise(docs: DataFrame, head_k: int = LM_HEAD_K) -> DataFrame:
     """Corpus-bigram LM surprise per document — the perplexity-style
     quality/novelty signal LM-data pipelines filter on (docs whose
     bigrams the corpus model finds improbable score high: boilerplate
@@ -146,34 +151,70 @@ def lm_surprise(docs: DataFrame) -> DataFrame:
     DuckDB oracle reproduces every value (the same reasoning as
     web/graphrank.py's fixed-point PageRank).
 
-    Scale shape: two corpus aggregations (bigram counts keyed by gram,
-    unigram counts keyed by token — uniform keys, map-side partial agg)
-    and one join of the exploded doc-bigram stream against each.  The
-    count tables are corpus-vocabulary-sized, so these are plain shuffle
-    joins (NOT broadcast — n-gram vocabulary is unbounded at 10^12
-    docs); the final re-aggregation is keyed by doc_id.  Docs shorter
-    than 2 tokens have no bigrams and drop out, same as
-    ``repetition_stats``.
+    Scale shape (the round-3 skew fix):
+
+    * **one tokenization pass** — the token-array projection is
+      localCheckpointed and feeds both the unigram counts and the
+      (doc_id, gram) stream (round 3 ran ``tokens(text)`` twice);
+    * the doc stream is **pre-aggregated to (doc_id, gram, m)** — a
+      uniform composite key — so every downstream join moves one row
+      per distinct gram per doc, not one per instance;
+    * the per-gram surprise ``unit`` is computed ONCE per distinct
+      corpus gram (c12 ⋈ c1 ⋈ V), never per instance;
+    * the unit join back to the doc stream is **frequency-split
+      two-tier**: the ``head_k`` most frequent grams — exactly the
+      Zipf hot keys ("of the") that melt a raw shuffle join — resolve
+      via a bounded BROADCAST, and only the tail (whose keys are
+      near-uniform by construction: everything hotter was removed)
+      shuffles.  The split is exact, not approximate: head ∪ tail
+      covers every gram, so results are independent of ``head_k``.
+
+    The count tables stay corpus-vocabulary-sized (unbounded at 10^12
+    docs — never broadcast in full); the final re-aggregation is keyed
+    by doc_id.  Docs shorter than 2 tokens have no bigrams and drop
+    out, same as ``repetition_stats``.
     """
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    tk = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    c1 = tk.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1")
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), 2)).alias("gram"),
-    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
-    c1 = toks.groupBy("w").agg(F.count("*").alias("c1"))
-    c12 = grams.groupBy("gram").agg(F.count("*").alias("c12"))
-    vocab = toks.select(F.count_distinct("w").alias("V"))
-    return (
-        grams.join(c12, "gram")
-        .join(c1, grams["w1"] == c1["w"])
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.expr(
-                f"sum(({LM_SCALE} * (c1 + V)) div (c12 + 1))"
-            ).alias("surprise"),
+    doc_grams = (
+        tk.select(
+            "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("gram")
         )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = doc_grams.groupBy("gram").agg(F.sum("m").alias("c12"))
+    vocab = c1.select(F.count("*").alias("V"))  # rows of c1 = distinct tokens
+    unit = (
+        c12.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            "c12",
+            F.expr(f"({LM_SCALE} * (c1 + V)) div (c12 + 1)").alias("unit"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # deterministic frequency split: ties at the boundary break by gram
+    head = (
+        unit.orderBy(F.desc("c12"), "gram")
+        .limit(head_k)
+        .select("gram", "unit")
+    )
+    tail = unit.join(
+        F.broadcast(head.select("gram")), "gram", "left_anti"
+    ).select("gram", "unit")
+    resolved = doc_grams.join(F.broadcast(head), "gram").unionByName(
+        doc_grams.join(F.broadcast(head.select("gram")), "gram", "left_anti")
+        .join(tail, "gram")
+    )
+    return resolved.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("unit")).alias("surprise"),
     )
