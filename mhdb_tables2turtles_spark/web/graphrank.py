@@ -25,7 +25,7 @@ posture as `web/canonicalize.py`'s salted CC, which is the heavier op.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -71,6 +71,10 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .agg((F.lit(base) + F.sum("contrib")).alias("pr"))
             .select(F.col("v").alias("node"), "pr")
         )
+    # materialize before releasing the cached adjacency: long-lived
+    # sessions (bench/gate loops) otherwise accumulate pinned partitions
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
     return ranks
 
 
@@ -83,15 +87,17 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     breaking count ties by minimum label (classic LPA leaves ties to
     hash order, which no oracle can mirror).
 
-    Scale shape per round: one join keyed by the label-holder node and
-    one (node, label) count aggregation with map-side partials — the
-    same two-shuffle pattern as a PageRank round; hub skew lands on the
-    count aggregation where AQE skew-split applies.  A fixed iteration
-    cap (not convergence) bounds the rounds, as with
-    :func:`pagerank_fixed`.
+    Scale shape per round: one join keyed by the label-holder node, one
+    (node, label) count aggregation with map-side partials, then the
+    argmax folded INTO an aggregation — ``groupBy(v).agg(min_by(label,
+    struct(-c, label)))`` — instead of a ``row_number`` window (round 3
+    ran window-after-groupBy: a second full Exchange PLUS a sort per
+    round; ``min_by`` is a partial-aggregating argmin, so the second
+    exchange moves one candidate row per map partition per node and
+    never sorts).  Hub skew lands on the count aggregation where AQE
+    skew-split applies.  A fixed iteration cap (not convergence) bounds
+    the rounds, as with :func:`pagerank_fixed`.
     """
-    from pyspark.sql import Window
-
     both = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -99,17 +105,22 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     labels = both.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("v").orderBy(F.desc("c"), F.col("label"))
+    # min over (-count, label) == most frequent label, ties to min label
+    order_key = F.struct((-F.col("c")).alias("nc"), F.col("label"))
     for _ in range(iterations):
         labels = (
             both.join(labels, both["u"] == labels["node"])
             .groupBy("v", "label")
             .agg(F.count("*").alias("c"))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
+            .groupBy("v")
+            .agg(F.min_by("label", order_key).alias("label"))
             .select(F.col("v").alias("node"), "label")
         )
-    return labels.select("node", F.col("label").alias("community"))
+    out = labels.select(
+        "node", F.col("label").alias("community")
+    ).localCheckpoint(eager=True)
+    both.unpersist()
+    return out
 
 
 def bfs_hops(
@@ -121,35 +132,59 @@ def bfs_hops(
     same as every distributed BFS).  ``sources`` is a one-column
     ``node`` DataFrame.
 
-    Synchronous min-plus iteration, all integers (engine-exact for the
-    oracle): each round is one shuffle keyed by the destination node —
-    dist' = min(dist, min over neighbors(dist_u + 1)) — with map-side
-    partial min aggregation.  ``max_hops`` bounds the rounds the way an
-    iteration cap bounds PageRank; at web scale the frontier variant
-    (join only nodes whose dist changed) trades a second join for less
-    traffic, worth it once the reached set plateaus.
+    FRONTIER iteration (the round-3 fix — the min-plus variant shuffled
+    the entire reached set every round): each round expands only the
+    nodes settled LAST round, dedups the neighbor set, and removes
+    already-settled nodes.  In an unweighted graph a node adjacent to
+    the hop-(h-1) frontier has true distance in {h-2, h-1, h}, so the
+    settled-check needs only the two PREVIOUS frontiers — per-round
+    shuffle traffic is proportional to the frontier and its edge
+    neighborhood, never to the accumulated distance table.  Each layer
+    is eagerly checkpointed (bounded lineage across rounds, and the
+    empty-frontier early exit is a metadata check, not a recompute);
+    the result is the union of the disjoint layers — identical to the
+    synchronous min-plus fixed point, so the unrolled min-plus SQL
+    oracle is unchanged.
     """
     both = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     both = both.cache()
-    dist = sources.select(
-        F.col("node"), F.lit(0).cast("int").alias("hops")
-    ).distinct()
-    for _ in range(max_hops):
-        via = (
-            both.join(dist, both["u"] == dist["node"])
-            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+    seed = (
+        sources.select(F.col("node"), F.lit(0).cast("int").alias("hops"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = [seed]
+    frontier = seed.select("node")
+    prev = None  # frontier two rounds back
+    for h in range(1, max_hops + 1):
+        reached = (
+            both.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(via)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+        nxt = reached.join(frontier, "node", "left_anti")
+        if prev is not None:
+            nxt = nxt.join(prev, "node", "left_anti")
+        nxt = nxt.withColumn("hops", F.lit(h).cast("int")).localCheckpoint(
+            eager=True
         )
-    return dist
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+        prev, frontier = frontier, nxt.select("node")
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    out = out.localCheckpoint(eager=True)
+    both.unpersist()
+    return out
 
 
-def link_predict(edges: DataFrame, min_common: int = 1) -> DataFrame:
+def link_predict(
+    edges: DataFrame, min_common: int = 1, hub_cap: int | None = None
+) -> DataFrame:
     """KG-completion candidates by neighborhood overlap: for every
     NON-adjacent node pair (a < b) with >= ``min_common`` shared
     neighbors, emit (node_a, node_b, n_common, jaccard_bp) where
@@ -159,19 +194,40 @@ def link_predict(edges: DataFrame, min_common: int = 1) -> DataFrame:
 
     Scale shape: candidate pairs come from a self-join keyed by the
     SHARED NEIGHBOR (wedge enumeration) — never an all-pairs product;
-    the anti-join against the edge set removes existing links.  Hub
-    neighbors fan out quadratically (the wedge problem) — at web scale
-    cap or sample hub adjacency before the self-join, exactly like
-    degree-ordered triangle counting.
+    the anti-join against the edge set removes existing links.  A
+    degree-d wedge center emits O(d^2) wedges, so ``hub_cap`` (the
+    round-3 fix) bounds the blowup: every node keeps at most
+    ``hub_cap`` adjacency rows for the SELF-JOIN ONLY, chosen by a
+    deterministic hash order (hash60 of the edge, ties by neighbor) so
+    both cluster runs and the test oracle pick the same sample — a
+    capped hub contributes <= hub_cap^2 wedges instead of d^2.
+    Degrees in the Jaccard denominator stay EXACT (computed before the
+    cap); n_common is exact for every pair whose common neighbors are
+    all below the cap and a documented underestimate through capped
+    hubs — the standard degree-thresholded wedge sampling trade.
+    ``hub_cap=None`` (the default, used by the driver fixture) is the
+    exact path.  At 10^12 edges set it near p99 degree.
     """
+    from mhdb_tables2turtles_spark.ops.common import hash60
+
     both = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     both = both.cache()
     deg = both.groupBy("u").agg(F.count("*").alias("deg"))
 
-    a = both.select(F.col("u").alias("w"), F.col("v").alias("a"))
-    b = both.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    adj = both
+    if hub_cap is not None:
+        w = Window.partitionBy("u").orderBy(
+            hash60(F.concat_ws(" ", F.col("u"), F.col("v"))), F.col("v")
+        )
+        adj = (
+            both.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= hub_cap)
+            .drop("__rk")
+        )
+    a = adj.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    b = adj.select(F.col("u").alias("w"), F.col("v").alias("b"))
     wedges = (
         a.join(b, "w")
         .filter(F.col("a") < F.col("b"))
@@ -185,7 +241,7 @@ def link_predict(edges: DataFrame, min_common: int = 1) -> DataFrame:
     cand = wedges.join(existing, ["a", "b"], "left_anti")
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
-    return (
+    out = (
         cand.join(da, "a")
         .join(db, "b")
         .select(
@@ -196,7 +252,10 @@ def link_predict(edges: DataFrame, min_common: int = 1) -> DataFrame:
                 "(10000 * n_common) div (deg_a + deg_b - n_common)"
             ).alias("jaccard_bp"),
         )
+        .localCheckpoint(eager=True)
     )
+    both.unpersist()
+    return out
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -296,3 +296,55 @@ def test_link_predict_crafted(spark):
     # adjacent pairs never appear
     assert ("a", "w") not in got and ("w", "a") not in got
     assert len(got) == 4
+
+
+def test_link_predict_hub_cap_bounds_wedges(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import link_predict
+
+    # one synthetic hub h with 12 leaves: uncapped wedge enumeration
+    # yields C(12,2)=66 candidate pairs through h
+    edges = spark.createDataFrame(
+        [("h", f"l{i:02d}") for i in range(12)], ["src", "dst"]
+    )
+    exact = link_predict(edges).collect()
+    assert len(exact) == 66
+
+    # cap 4: the hub keeps 4 adjacency rows for the self-join, so at
+    # most C(4,2)=6 wedges survive — the bounded-blowup guarantee
+    capped = link_predict(edges, hub_cap=4).collect()
+    assert 0 < len(capped) <= 6
+    # degrees (the Jaccard denominator) stay exact: every surviving
+    # leaf pair has deg 1 each, 1 common neighbor -> J = 1/1
+    assert all(r.n_common == 1 and r.jaccard_bp == 10000 for r in capped)
+    # deterministic: same sample on rerun
+    again = link_predict(edges, hub_cap=4).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
+
+    # cap >= max degree is bit-identical to the exact path
+    wide = link_predict(edges, hub_cap=100).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, exact))
+
+
+def test_bfs_frontier_matches_minplus_on_cyclic_graph(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import bfs_hops
+
+    # cycle + chords: multiple paths of different lengths reach the
+    # same node, exercising the re-reach pruning (a frontier neighbor
+    # may already be settled two layers back)
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("e", "a"),  # 5-cycle
+            ("b", "d"),  # chord
+            ("e", "f"), ("f", "g"),  # tail
+        ],
+        ["src", "dst"],
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=4).collect()}
+    assert got == {
+        "a": 0, "b": 1, "e": 1, "c": 2, "d": 2, "f": 2, "g": 3,
+    }
+    # early exit: hop cap far beyond the diameter returns the same set
+    got2 = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=50).collect()}
+    assert got2 == got
