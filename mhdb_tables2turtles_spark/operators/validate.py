@@ -312,16 +312,29 @@ def validate_turtle(
 
 def validate_ttl_dir(ttl_dir: str) -> int:
     """Validate a sharded Turtle output directory (``header.ttl`` +
-    ``part-*`` body shards) as ONE concatenated document, the way
-    consumers read it.  Returns total predicate-object pairs."""
+    ``part-*`` body shards).  Returns total predicate-object pairs.
+
+    The header is parsed once and its declared prefixes carried into
+    each shard via ``extra_prefixes``, so every shard validates in
+    ISOLATION — driver memory is O(largest shard), not O(total output)
+    (round-3 advice: the concatenate-everything form OOMs the driver on
+    large outputs even though shards are self-contained by
+    construction).  Equivalent to concatenated validation because body
+    shards carry no PREFIX directives of their own — the renderer puts
+    them all in the header."""
     import glob
     import os
 
     parts = sorted(glob.glob(os.path.join(ttl_dir, "part-*")))
     header = os.path.join(ttl_dir, "header.ttl")
-    text = ""
+    total = 0
+    prefixes: tuple[str, ...] = ()
     if os.path.exists(header):
-        text += open(header, encoding="utf-8").read()
+        with open(header, encoding="utf-8") as f:
+            p = _Parser(f.read())
+        total += p.parse()
+        prefixes = tuple(p.prefixes)
     for part in parts:
-        text += open(part, encoding="utf-8").read() + "\n"
-    return validate_turtle(text)
+        with open(part, encoding="utf-8") as f:
+            total += validate_turtle(f.read(), extra_prefixes=prefixes)
+    return total

@@ -67,23 +67,32 @@ def range_join(
 
     # left row can match right times in [lt+lower, lt+upper] — that
     # window touches exactly the buckets of its two endpoints.
-    # Integer `div`, not floor(double/): epoch-µs values overflow a
-    # double's 2^53 integer range within a few centuries, and div on
-    # longs is exact (post-1970 timestamps are positive, where div ==
-    # floor division).
+    # Integer arithmetic, not floor(double/): epoch-µs values overflow
+    # a double's 2^53 integer range within a few centuries.  Spark's
+    # `div` truncates toward zero, which diverges from floor division
+    # on NEGATIVE operands (pre-1970 timestamps, or lt+lower < 0) and
+    # would land the two sides in inconsistent buckets — the correction
+    # term below makes it exact floor division over the full long range
+    # (no overflow-prone epoch shift needed).
+    def _floordiv(x: str) -> str:
+        return (
+            f"(({x}) div {band})"
+            f" - (case when ({x}) % {band} < 0 then 1 else 0 end)"
+        )
+
     l = left.withColumn("__lt_us", lt_us).withColumn(
         "__bucket",
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.expr(f"(__lt_us + {lower_us}) div {band}"),
-                    F.expr(f"(__lt_us + {upper_us}) div {band}"),
+                    F.expr(_floordiv(f"__lt_us + {lower_us}")),
+                    F.expr(_floordiv(f"__lt_us + {upper_us}")),
                 )
             )
         ),
     )
     r = right.withColumn("__rt_us", rt_us).withColumn(
-        "__bucket", F.expr(f"__rt_us div {band}")
+        "__bucket", F.expr(_floordiv("__rt_us"))
     )
     rcols = [c for c in right.columns if c not in keys]
     joined = l.join(r, [*keys, "__bucket"]).filter(

@@ -246,8 +246,10 @@ def ngram_decontaminate(
     )
 
 
-# tracking parameters dropped by URL canonicalization (Java∩RE2 subset)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)="
+# tracking parameters dropped by URL canonicalization (Java∩RE2 subset);
+# (=|$) so VALUELESS params (a bare 'fbclid') are dropped too — before
+# round 4 they survived and split frontier entries
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid)(=|$)"
 
 
 def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -281,7 +283,9 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     has_scheme = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    # bracketed IPv6 hosts ([::1], [2001:db8::1]) keep their brackets
+    # and colons; only a trailing :port outside the brackets is a port
+    host = F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]*)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     drop_port = (
         (port == "")

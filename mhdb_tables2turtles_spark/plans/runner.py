@@ -230,6 +230,11 @@ def run_all(
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(doc)
             os.replace(tmp, path)
+        elif os.path.exists(path):
+            # disk must match the returned path=None: a stale .ttl from
+            # an earlier successful run would otherwise be picked up by
+            # consumers globbing out_dir
+            os.remove(path)
         out[name] = {
             "path": path if err is None else None,
             "n_triples": triples.count(),

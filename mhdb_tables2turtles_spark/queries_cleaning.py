@@ -396,17 +396,21 @@ _SQL_LM_SURPRISE = f"""
 # ------------------------------------------------------- url_canonical
 
 # deterministic URL fixture (documents has no url column): uppercase
-# scheme/host, default + explicit ports, tracking params, unsorted
-# params, fragments (incl. a '?' INSIDE the fragment), and schemeless
-# relative entries — every rule of the canonicalizer gets traffic
+# scheme/host, default + explicit ports, tracking params (incl. a
+# VALUELESS bare 'fbclid'), unsorted params, fragments (incl. a '?'
+# INSIDE the fragment), bracketed-IPv6 hosts with a port, and
+# schemeless relative entries — every rule of the canonicalizer gets
+# traffic
 _SQL_URL = (
-    "case when doc_id % 17 = 0 then 'page'||doc_id||'.html?a=1' else "
+    "case when doc_id % 17 = 0 then 'page'||doc_id||'.html?a=1' "
+    "when doc_id % 23 = 0 then"
+    " 'HTTPS://[2001:DB8::'||(doc_id % 4)||']:443/V6?fbclid&x=2' else "
     "'HTTP://WWW.Site'||(doc_id % 7)||'.COM'"
     "||case when doc_id % 3 = 0 then ':80'"
     "       when doc_id % 13 = 0 then ':8080' else '' end"
     "||case when doc_id % 11 = 0 then '' else '/Path/p'||(doc_id % 5) end"
     "||case when doc_id % 2 = 0 then '?utm_source=x&b=2&a='||(doc_id % 4)"
-    "       when doc_id % 9 = 0 then '?z=1&y=2' else '' end"
+    "       when doc_id % 9 = 0 then '?z=1&y=2&fbclid' else '' end"
     "||case when doc_id % 4 = 0 then '#frag?f=1' else '' end"
     " end"
 )
@@ -419,6 +423,12 @@ def q_url_canonical(spark, sf_dir):
     url = F.when(
         d % 17 == 0,
         F.concat(F.lit("page"), d.cast("string"), F.lit(".html?a=1")),
+    ).when(
+        d % 23 == 0,
+        F.concat(
+            F.lit("HTTPS://[2001:DB8::"), (d % 4).cast("string"),
+            F.lit("]:443/V6?fbclid&x=2"),
+        ),
     ).otherwise(
         F.concat(
             F.lit("HTTP://WWW.Site"), (d % 7).cast("string"), F.lit(".COM"),
@@ -429,7 +439,7 @@ def q_url_canonical(spark, sf_dir):
             F.when(
                 d % 2 == 0,
                 F.concat(F.lit("?utm_source=x&b=2&a="), (d % 4).cast("string")),
-            ).when(d % 9 == 0, "?z=1&y=2").otherwise(""),
+            ).when(d % 9 == 0, "?z=1&y=2&fbclid").otherwise(""),
             F.when(d % 4 == 0, "#frag?f=1").otherwise(""),
         )
     )
@@ -463,7 +473,10 @@ _SQL_URL_CANONICAL = f"""
     ),
     norm as (
         select doc_id, url, has_scheme, scheme,
-               coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') as host,
+               -- bracketed IPv6 hosts keep brackets+colons (same
+               -- alternation as ops/cleaning.py::url_canonicalize)
+               coalesce(regexp_extract(hostport,
+                   '^(\\[[^\\]]*\\]|[^:]*)', 1), '') as host,
                coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '')
                    as port,
                case when path0 = '' then '/' else path0 end as path,

@@ -348,3 +348,33 @@ def test_bfs_frontier_matches_minplus_on_cyclic_graph(spark):
     # early exit: hop cap far beyond the diameter returns the same set
     got2 = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=50).collect()}
     assert got2 == got
+
+
+def test_range_join_pre_epoch_timestamps(spark):
+    """Negative epoch-µs values bucket by exact FLOOR division: before
+    the fix, `div` truncation toward zero put pre-1970 left and right
+    rows in inconsistent buckets and silently dropped qualifying pairs."""
+    from datetime import datetime
+
+    from mhdb_tables2turtles_spark.ops.asof import range_join
+
+    t = lambda s, us=0: datetime(1969, 12, 31, 23, 59, s, us)
+    left = spark.createDataFrame(
+        [(1, "u1", t(58)), (2, "u1", t(59, 999_950))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(58, 40), 1.0),           # dt=40µs from event 1
+            ("u1", datetime(1970, 1, 1, 0, 0, 0, 30), 2.0),
+            # ^ dt=80µs from event 2, crossing the epoch itself
+            ("u1", t(59), 3.0),               # dt=1s -> out of window
+        ],
+        ["user_id", "p_ts", "p_value"],
+    )
+    j = range_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="p_ts",
+        lower_us=0, upper_us=100,
+    )
+    got = {(r.event_id, r.p_value) for r in j.collect()}
+    assert got == {(1, 1.0), (2, 2.0)}
