@@ -127,29 +127,36 @@ def main() -> None:
     # kg_mentions was absorbing 4-7s of one-time startup
     QUERIES["kg_mentions"](spark, sf_dir).count()
 
+    # burst-guard methodology (same as scripts/scaling_bench.py): this
+    # box's external tenants cause minutes-long load bursts that inflate
+    # a single measurement 5-50x (e.g. a 0.8s query measured at 61s).
+    # SPARK_GRAFT_BENCH_REPS > 1 runs the WHOLE catalog loop that many
+    # times INTERLEAVED and records each query's minimum — interleaving
+    # matters because a burst outlasts back-to-back reps of one query
+    # but not a full pass over the catalog.  At reps == 1 (the driver's
+    # per-round config) the bounded single-retry guard below still
+    # protects the worst victims.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     per_query: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        # this box's external tenants cause minutes-long load bursts that
-        # inflate a single measurement 5-50x (e.g. a 0.8s query measured
-        # at 61s).  A query that looks expensive gets ONE re-time and the
-        # minimum is recorded: genuinely slow queries stay slow in both
-        # runs; burst victims recover.  Bounded: at most 2x per query.
-        if dt > 12.0:
+    for _ in range(max(reps, 1)):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
-            dt = min(dt, round(time.time() - t0, 3))
-        per_query[name] = dt
-        total += dt
+            dt = round(time.time() - t0, 3)
+            if reps == 1 and dt > 12.0:
+                # one bounded re-time: genuinely slow queries stay slow
+                # in both runs; burst victims recover
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).count()
+                dt = min(dt, round(time.time() - t0, 3))
+            per_query[name] = min(per_query.get(name, dt), dt)
+    total = sum(per_query.values())
 
     pipe = time_pipeline(spark, n_pages, partitions=cpus * 2)
-    if pipe["pipeline_sec"] > 15:
-        # same burst guard as the per-query loop: one bounded re-time
-        # (the round-3 pipeline measures 8.5-10s in quiet windows at the
-        # default 3000 pages; >15s means a tenant burst ate the cores)
+    for _ in range(reps - 1 if reps > 1 else (1 if pipe["pipeline_sec"] > 15 else 0)):
+        # reps > 1: best-of-reps like the catalog; reps == 1: one bounded
+        # re-time when a tenant burst ate the cores (the round-3 pipeline
+        # measures 8.5-10s in quiet windows at the default 3000 pages)
         again = time_pipeline(spark, n_pages, partitions=cpus * 2)
         if again["pipeline_sec"] < pipe["pipeline_sec"]:
             pipe = again

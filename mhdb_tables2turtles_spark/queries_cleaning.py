@@ -504,9 +504,13 @@ _SQL_URL_CANONICAL = f"""
 
 # ------------------------------------------------------ corpus_curation
 
-# drop thresholds for the composed curation verdict
-_CUR_REP_BP = 2000     # > 20% duplicated bigram mass -> repetitive
-_CUR_QUALITY = 0.5     # composite quality floor
+# drop thresholds for the composed curation verdict (shared with the
+# staged production shape, ops/curation.py)
+from mhdb_tables2turtles_spark.ops.curation import (  # noqa: E402
+    CUR_QUALITY as _CUR_QUALITY,
+    CUR_REP_BP as _CUR_REP_BP,
+    curation_verdict as _curation_verdict,
+)
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -514,38 +518,18 @@ def q_corpus_curation(spark, sf_dir):
     document composing every filter family (the FineWeb/Gopher-style
     decision): exact dup > near dup > benchmark-contaminated >
     repetitive (dup-bigram mass > 20%) > low quality (< 0.5) > keep.
-    Pure composition of committed operators; each signal joins on
-    doc_id (uniform 8-byte key), so the composition adds no new scale
-    hazard beyond its inputs."""
+    Inline single-plan shape for the driver oracle; the production
+    shape (each signal materialized once through staged commits, then
+    joined) is ops/curation.py::staged_curation — both compose through
+    the same curation_verdict()."""
     from mhdb_tables2turtles_spark.queries import q_dedup_decisions
-
-    dd = q_dedup_decisions(spark, sf_dir).select(
-        "doc_id", F.col("reason").alias("dd_reason")
-    )
-    de = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
-    rep = q_text_repetition(spark, sf_dir).select(
-        "doc_id", "dup_bigram_bp"
-    )
     from mhdb_tables2turtles_spark.ops.text import quality_score
 
-    qu = quality_score(_read_spread(spark, sf_dir, "documents")).select(
-        "doc_id", "quality"
-    )
-    j = (
-        dd.join(de, "doc_id")
-        .join(rep, "doc_id", "left")
-        .join(qu, "doc_id")
-    )
-    reason = (
-        F.when(F.col("dd_reason") != "keep", F.col("dd_reason"))
-        .when(F.col("contaminated") == 1, "contaminated")
-        .when(F.coalesce(F.col("dup_bigram_bp"), F.lit(0)) > _CUR_REP_BP,
-              "repetitive")
-        .when(F.col("quality") < _CUR_QUALITY, "low_quality")
-        .otherwise("keep")
-    )
-    return j.select(
-        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    return _curation_verdict(
+        q_dedup_decisions(spark, sf_dir),
+        q_decontaminate(spark, sf_dir),
+        q_text_repetition(spark, sf_dir),
+        quality_score(_read_spread(spark, sf_dir, "documents")),
     )
 
 
