@@ -82,6 +82,9 @@ BENCH_QUERIES = (
     "mix_weights",
     "ann_recall",
     "corpus_curation",
+    # round-4 additions
+    "dedup_incremental",
+    "text_line_repetition",
 )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "TRACKING_PARAM_RE",
     "pii_scan",
     "repetition_stats",
+    "line_repetition_stats",
     "segment_dedup",
     "host_stats",
     "stratified_sample",
@@ -106,6 +107,48 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.expr(
             "(10000 * sum(if(c > 1, c, 0))) div sum(c)"
         ).alias("dup_bigram_bp"),
+    )
+
+
+def line_repetition_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher's LINE-level repetition signals per document: (doc_id,
+    n_lines, dup_line_bp, dup_char_bp).
+
+    ``dup_line_bp`` = basis-point share of non-empty line occurrences
+    whose (trimmed) line appears more than once in the document;
+    ``dup_char_bp`` = the same share weighted by line length in
+    characters (Gopher filters on both: many short duplicated lines vs
+    one long duplicated block are different failure modes — nav
+    boilerplate vs copy-pasted body).  Empty/whitespace-only lines are
+    ignored (they carry no boilerplate signal and would dominate the
+    duplicate mass of any multi-paragraph page).
+
+    Same conventions as :func:`repetition_stats`: duplicate mass counts
+    ALL occurrences of a repeated line, ratios are integer fixed-point
+    (``(10000*a) div b``, engine-exact), and the shuffle key is
+    ``(doc_id, line)`` so hot boilerplate lines never skew one reducer.
+    Docs with no non-empty lines drop out (same in the oracle).
+    """
+    lines = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+        )
+        .select("doc_id", F.trim("__raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    counts = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.expr("(10000 * sum(if(c > 1, c, 0))) div sum(c)").alias(
+            "dup_line_bp"
+        ),
+        F.expr(
+            "(10000 * sum(if(c > 1, c * length(line), 0)))"
+            " div sum(c * length(line))"
+        ).alias("dup_char_bp"),
     )
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "simhash",
     "simhash_duplicates",
     "near_dup_clusters",
+    "incremental_near_dups",
 ]
 
 
@@ -415,3 +416,90 @@ def near_dup_clusters(
             "cluster_size",
         )
     )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup verdicts for a NEW crawl drop against an already-committed
+    corpus, touching only the drop plus the candidate corpus docs.
+
+    The batch recipe (:func:`near_dup_clusters`) re-signs the whole
+    corpus per run; on a growing corpus the production shape signs each
+    document ONCE, commits the band table alongside the text (the staged
+    pipeline's job), and dedups every subsequent drop by joining the
+    drop's fresh bands against the committed table.  Per drop this costs
+    O(|drop|) signature work + one equi-join on uniform (band_id,
+    band_hash) keys — never O(|corpus|) recomputation.  Corpus TEXT is
+    read only for the candidate docs (``jaccard_pairs`` semi-join prune),
+    so at 100 TB the drop dedup reads gigabytes, not the corpus.
+
+    Returns ``(decisions, new_bands)``:
+
+    * ``decisions`` — one row per duplicate-flagged NEW doc:
+      ``(doc_id, dup_of, jaccard, scope)`` where ``scope`` is
+      ``'corpus'`` (matches a committed doc) or ``'drop'`` (matches an
+      earlier doc in the same drop — ``dup_of`` is the smaller doc_id).
+      Best match per doc: highest verified Jaccard, ties to the
+      smallest ``dup_of``.
+    * ``new_bands`` — the drop's band rows, for the caller to append to
+      the committed band table (production appends only the KEPT docs'
+      bands so dropped duplicates never become dedup targets).
+    """
+    nb = minhash_bands_np(
+        new_docs, k=k, n_hashes=n_hashes, bands=bands
+    ).localCheckpoint(eager=False)
+    cross = (
+        nb.alias("n")
+        .join(corpus_bands.alias("c"), ["band_id", "band_hash"])
+        .select(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("scope", F.lit("corpus"))
+    )
+    intra = lsh_candidate_pairs(nb).withColumn("scope", F.lit("drop"))
+    cand = cross.unionByName(intra).localCheckpoint(eager=False)
+    all_docs = corpus_docs.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text")
+    )
+    verified = jaccard_pairs(
+        all_docs, cand.select("doc_a", "doc_b"), k=k, threshold=threshold
+    )
+    tagged = verified.join(cand, ["doc_a", "doc_b"])
+    # normalize to (new doc, kept doc): cross pairs put the new doc in
+    # doc_a; intra pairs keep the smaller doc_id (lsh_candidate_pairs
+    # emits doc_a < doc_b)
+    dup_rows = tagged.select(
+        F.when(F.col("scope") == "drop", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("doc_id"),
+        F.when(F.col("scope") == "drop", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("dup_of"),
+        "jaccard",
+        "scope",
+    )
+    decisions = (
+        dup_rows.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("dup_of", "jaccard", "scope"),
+                F.struct(F.col("jaccard"), -F.col("dup_of")),
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.dup_of").alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+            F.col("m.scope").alias("scope"),
+        )
+    )
+    return decisions, nb

@@ -697,6 +697,74 @@ _SQL_JACCARD = f"""
 """
 
 
+# every 7th document plays the "new crawl drop"; the rest is the
+# committed corpus whose band table already exists
+_INCR_DROP_MOD = 7
+_INCR_TAU = 0.5
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental drop-vs-corpus near-dup verdicts
+    (ops/dedup.py::incremental_near_dups): the drop's docs are signed
+    fresh, the corpus contributes only its committed band table plus
+    candidate texts — the growing-corpus production shape."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    drop = docs.filter(F.col("doc_id") % _INCR_DROP_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_DROP_MOD != 0)
+    corpus_bands = dedup.minhash_bands_np(corpus).localCheckpoint(
+        eager=False
+    )
+    decisions, _ = dedup.incremental_near_dups(
+        drop, corpus, corpus_bands, threshold=_INCR_TAU
+    )
+    return decisions.select(
+        "doc_id", "dup_of", F.round("jaccard", 6).alias("jaccard"), "scope"
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = f"""
+    with bands as ({_SQL_MINHASH}),
+    drop_b as (select * from bands where doc_id % {_INCR_DROP_MOD} = 0),
+    corp_b as (select * from bands where doc_id % {_INCR_DROP_MOD} <> 0),
+    cand as (
+        select distinct d.doc_id as doc_a, c.doc_id as doc_b,
+               'corpus' as scope
+        from drop_b d join corp_b c using (band_id, band_hash)
+        union all
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+               'drop' as scope
+        from drop_b a join drop_b b using (band_id, band_hash)
+        where a.doc_id < b.doc_id
+    ),
+    toks as (select doc_id, {_TOKS} as ts from documents),
+    sh as (select doc_id,
+                  list_distinct(list_transform(
+                      list_transform(generate_series(1, len(ts)-2),
+                                     i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]),
+                      s -> {_sql_hash60('s')})) as sh
+           from toks),
+    ver as (select doc_a, doc_b, scope,
+                   len(list_intersect(a.sh, b.sh))::double /
+                   len(list_distinct(list_concat(a.sh, b.sh))) as jacc
+            from cand join sh a on doc_a = a.doc_id
+                      join sh b on doc_b = b.doc_id),
+    dup_rows as (
+        select case when scope = 'drop' then doc_b else doc_a end as doc_id,
+               case when scope = 'drop' then doc_a else doc_b end as dup_of,
+               jacc, scope
+        from ver where jacc >= {_INCR_TAU}
+    ),
+    best as (
+        select doc_id, dup_of, jacc, scope,
+               row_number() over (partition by doc_id
+                                  order by jacc desc, dup_of asc) as rn
+        from dup_rows
+    )
+    select doc_id, dup_of, round(jacc, 6) as jaccard, scope
+    from best where rn = 1
+"""
+
+
 
 
 _DEDUP_TAU = 0.8
@@ -1108,6 +1176,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_decisions": q_dedup_decisions,
     "text_token_stats": q_text_token_stats,
@@ -1175,6 +1244,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_pairs": _SQL_MINHASH_PAIRS,
         "dedup_simhash": _sql_simhash(),
         "jaccard_pairs": _SQL_JACCARD,
+        "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "dedup_decisions": _SQL_DEDUP_DECISIONS,
         "text_token_stats": _SQL_TOKEN_STATS,

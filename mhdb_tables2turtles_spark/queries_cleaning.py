@@ -127,6 +127,57 @@ _SQL_REPETITION = f"""
 """
 
 
+# ------------------------------------------------- text_line_repetition
+
+# documents has no newlines, so the query line-izes deterministically:
+# 4 lines built from token slices, with line 3 REPEATING line 1 — every
+# doc gets duplicate-line traffic, and short docs exercise the
+# empty/partial-slice edges identically in both engines
+_LINE_SLICES = ((1, 5), (6, 5), (1, 5))
+
+
+def q_text_line_repetition(spark, sf_dir):
+    """Gopher line-level repetition signals
+    (ops/cleaning.py::line_repetition_stats) over deterministically
+    line-ized fixture text."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    from mhdb_tables2turtles_spark.ops.common import tokens
+
+    toks = tokens(F.col("text"))
+    parts = [
+        F.array_join(F.slice(toks, s, n), " ") for s, n in _LINE_SLICES
+    ] + [F.concat(F.lit("doc "), F.col("doc_id").cast("string"))]
+    lined = docs.select(
+        "doc_id", F.concat_ws("\n", *parts).alias("text")
+    )
+    return cleaning.line_repetition_stats(lined)
+
+
+_SQL_LINE_REP = f"""
+    with lined as (
+        select doc_id,
+               {" || chr(10) || ".join(
+                   [f"array_to_string(ts[{s}:{s + n - 1}], ' ')"
+                    for s, n in _LINE_SLICES]
+                   + ["'doc ' || doc_id"]
+               )} as text
+        from (select doc_id, {_TOKS} as ts from documents)
+    ),
+    l as (select doc_id, trim(li) as line
+          from (select doc_id, unnest(string_split(text, chr(10))) as li
+                from lined)
+          where trim(li) <> ''),
+    c as (select doc_id, line, count(*) as c from l group by 1, 2)
+    select doc_id,
+           cast(sum(c) as bigint) as n_lines,
+           cast((10000 * sum(case when c > 1 then c else 0 end)) // sum(c)
+                as bigint) as dup_line_bp,
+           cast((10000 * sum(case when c > 1 then c * len(line) else 0 end))
+                // sum(c * len(line)) as bigint) as dup_char_bp
+    from c group by doc_id
+"""
+
+
 # ------------------------------------------------------- segment_dedup
 
 _SEG_K = 10
@@ -673,6 +724,7 @@ _SQL_HOST_QUANTILES = f"""
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
+    "text_line_repetition": q_text_line_repetition,
     "segment_dedup": q_segment_dedup,
     "host_stats": q_host_stats,
     "doc_sample": q_doc_sample,
@@ -693,6 +745,7 @@ def cleaning_oracles() -> dict[str, str]:
     return {
         "text_pii": _sql_pii(),
         "text_repetition": _SQL_REPETITION,
+        "text_line_repetition": _SQL_LINE_REP,
         "segment_dedup": _SQL_SEGMENT_DEDUP,
         "host_stats": _SQL_HOST_STATS,
         "doc_sample": _sql_doc_sample(),

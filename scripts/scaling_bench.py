@@ -63,13 +63,47 @@ def pages_for(cpus: int) -> int:
     return N_PAGES
 
 
+def build_scale_spark(cpus: int):
+    """Session builder for the N-vs-4N emulation — same knobs as
+    ``bench.build_spark`` EXCEPT the two that must scale with the
+    emulated executor count:
+
+    * ``spark.sql.shuffle.partitions = cpus * 4`` with NO floor — on a
+      real cluster 4N executors give 4x shuffle parallelism; bench.py's
+      ``max(cpus*2, 8)`` floor (right for the fixed-sf query catalog)
+      silently made the local[2] config run its data over MORE
+      partitions per core than local[8], i.e. 2x the per-partition rows
+      at the large config.  Weak scaling demands constant per-partition
+      work.
+    * ``spark.driver.memory = 3g * cpus`` — aggregate cluster memory
+      grows with executor count; a fixed single-JVM heap forces the 4x
+      data config through 4x the GC pressure, which no cluster story
+      includes.  (Round-4 measured the fixed-heap form at 0.71-0.79
+      weak efficiency with the `linked`/`triples` shuffle stages as the
+      bottleneck; see BENCH/BASELINE.md.)
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mhdb-tables2turtles-spark-scaling")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", f"{3 * cpus}g")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
+
+
 def run_one(cpus: int, corpus_path: str) -> dict:
     sys.path.insert(0, REPO)
-    from bench import build_spark
     from mhdb_tables2turtles_spark.web.pipeline import KGPipeline, build_corpus
 
     n_pages = pages_for(cpus)
-    spark = build_spark(cpus)
+    spark = build_scale_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         build_corpus(spark, n_pages, seed=42, partitions=128).write.mode(
@@ -175,7 +209,7 @@ def main() -> None:
 
     if MODE == "weak":
         report = f"""
-## Weak scaling: {hi // lo}x pages at {hi // lo}x cores (round 3)
+## Weak scaling: {hi // lo}x pages at {hi // lo}x cores (local[{lo}] vs local[{hi}])
 
 Per-core work held constant: local[{lo}] processes {r8['n_pages']}
 pages, local[{hi}] processes {r32['n_pages']} pages of the same

@@ -288,3 +288,26 @@ def test_staged_curation_resume_matches_inline(spark, tmp_path):
     got3 = {r.doc_id: (r.reason, r.keep)
             for r in staged_curation(spark, sf_dir, wd).collect()}
     assert got3 == want
+
+
+def test_line_repetition_crafted(spark):
+    """Hand-checked line-level repetition: duplicated nav line counts
+    both occurrences, whitespace-only lines ignored, char share weighs
+    by line length."""
+    docs = spark.createDataFrame(
+        [
+            (1, "nav menu\nbody text one\nnav menu\n\n   \nfooter"),
+            (2, "all\nlines\nare\nunique"),
+            (3, "\n \n"),  # nothing but empties -> drops out
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in cleaning.line_repetition_stats(docs).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    # lines: [nav menu, body text one, nav menu, footer]
+    assert r1.n_lines == 4
+    assert r1.dup_line_bp == 5000          # 2 of 4 occurrences duplicated
+    # chars: nav menu(8)*2=16 dup, total 16+13+6=35
+    assert r1.dup_char_bp == (10000 * 16) // 35
+    assert (got[2].dup_line_bp, got[2].dup_char_bp) == (0, 0)

@@ -378,3 +378,38 @@ def test_range_join_pre_epoch_timestamps(spark):
     )
     got = {(r.event_id, r.p_value) for r in j.collect()}
     assert got == {(1, 1.0), (2, 2.0)}
+
+
+def test_lpa_round_plan_no_window_no_sort(spark):
+    """One LPA round is join + two partial-aggregating Exchanges — the
+    round-3 rewrite's contract: the argmax is min_by folded into the
+    aggregation, so the plan carries NO Window and NO Sort (the
+    window-after-groupBy form paid a full extra Exchange plus a sort
+    per round)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    labels = both.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    order_key = F.struct((-F.col("c")).alias("nc"), F.col("label"))
+    one_round = (
+        both.join(labels, both["u"] == labels["node"])
+        .groupBy("v", "label")
+        .agg(F.count("*").alias("c"))
+        .groupBy("v")
+        .agg(F.min_by("label", order_key).alias("label"))
+    )
+    plan = one_round._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the argmax is a partial-aggregating argmin (one candidate row per
+    # map partition per node crosses the wire), not a window sort
+    assert "partial_min_by" in plan
+    # exchanges: join input(s) + one for the argmin — never the extra
+    # full Exchange + sort the window-after-groupBy form paid
+    assert plan.count("Exchange hashpartitioning") <= 3

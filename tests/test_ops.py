@@ -301,3 +301,64 @@ def test_near_dup_clusters_crafted(spark):
     assert set(got) == {1, 2, 3}
     assert {got[d][0] for d in (1, 2, 3)} == {1}  # canonical = min doc_id
     assert {got[d][1] for d in (1, 2, 3)} == {3}
+
+
+def test_incremental_near_dups_matches_batch(spark):
+    """Incremental drop-vs-corpus dedup flags the same duplicates the
+    full-batch recipe finds, while only signing the drop: a corpus
+    near-dup, an intra-drop near-dup, and a unique doc each get the
+    right verdict, and the returned band rows equal the batch operator's
+    bands for the drop docs (so appending them keeps the committed table
+    identical to a from-scratch signing)."""
+    from mhdb_tables2turtles_spark.ops.dedup import (
+        incremental_near_dups,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands_np,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [
+            (1, base * 4),
+            (2, "completely different text about spark physical plans " * 4),
+            (3, "a third unrelated document mentioning dedup at scale " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus_bands = minhash_bands_np(corpus)
+    drop = spark.createDataFrame(
+        [
+            (10, base * 4 + "tiny tail edit"),          # near-dup of corpus doc 1
+            (11, "fresh unique content never seen before anywhere " * 4),
+            (12, "fresh unique content never seen before anywhere " * 4 + "v2"),
+            # ^ near-dup of drop doc 11
+            (13, "entirely novel page with its own words " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+
+    decisions, new_bands = incremental_near_dups(
+        drop, corpus, corpus_bands, threshold=0.5
+    )
+    got = {r.doc_id: (r.dup_of, r.scope) for r in decisions.collect()}
+    assert got == {10: (1, "corpus"), 12: (11, "drop")}
+
+    # band rows are the batch operator's rows for the drop docs
+    a = {tuple(r) for r in new_bands.collect()}
+    b = {tuple(r) for r in minhash_bands_np(drop).collect()}
+    assert a == b
+
+    # agreement with the full-batch recipe over corpus+drop: every
+    # incremental verdict appears among the batch verified pairs
+    everything = corpus.unionByName(drop)
+    batch_bands = minhash_bands_np(everything)
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            everything, lsh_candidate_pairs(batch_bands), threshold=0.5
+        ).collect()
+    }
+    for doc_id, (dup_of, _) in got.items():
+        lo, hi = sorted((doc_id, dup_of))
+        assert (lo, hi) in batch_pairs

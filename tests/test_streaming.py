@@ -93,3 +93,87 @@ def test_windowed_mention_rates(spark, page_drop, tmp_path):
     # instead of counts
     df = spark.read.parquet(out)
     assert set(df.columns) == {"window_start", "window_end", "surface", "n_mentions"}
+
+
+def _drain(stream_df, out, ck):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_dedup_exact_and_url(spark, tmp_path):
+    """Streaming dedup keeps the first arrival per content hash / per
+    canonical URL and drops the rest; watermark bounds the state.  Two
+    drops so the duplicate arrives in a LATER micro-batch than the
+    original (maxFilesPerTrigger=1) — state must carry across batches."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from mhdb_tables2turtles_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_dedup_url,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("fetch_ts", TimestampType()),
+    ])
+    t = lambda m: datetime(2026, 1, 1, 12, m)
+    drop_dir = str(tmp_path / "drops")
+    # drop 1: three distinct pages
+    spark.createDataFrame(
+        [
+            ("http://a.com/p1", "alpha beta gamma", t(0)),
+            ("http://b.com/p2", "delta epsilon", t(1)),
+            ("http://c.com/p3", "zeta eta theta", t(2)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop_dir)
+    # drop 2: one content mirror (different url, same normalized text),
+    # one recrawl (same page via tracking params + default port),
+    # one genuinely new page
+    spark.createDataFrame(
+        [
+            ("http://mirror.com/x", "  ALPHA   beta GAMMA ", t(5)),
+            ("HTTP://A.COM:80/p1?utm_source=feed", "alpha beta gamma v2", t(6)),
+            ("http://d.com/p4", "iota kappa", t(7)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    _drain(stream_dedup_exact(stream), out1, ck1)
+    by_content = spark.read.parquet(out1)
+    # mirror.com dropped (same content hash as a.com/p1, later ts);
+    # the recrawl SURVIVES content dedup (text differs: "v2")
+    urls = {r.url for r in by_content.collect()}
+    assert "http://mirror.com/x" not in urls
+    assert "HTTP://A.COM:80/p1?utm_source=feed" in urls
+    assert by_content.count() == 5
+
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _drain(stream_dedup_url(stream), out2, ck2)
+    by_url = spark.read.parquet(out2)
+    # the recrawl dropped (canonicalizes to http://a.com/p1); the
+    # mirror SURVIVES url dedup (different host)
+    urls2 = {r.url for r in by_url.collect()}
+    assert "HTTP://A.COM:80/p1?utm_source=feed" not in urls2
+    assert "http://mirror.com/x" in urls2
+    assert by_url.count() == 5
+    # key column retained for observability
+    assert "canonical_url" in by_url.columns
