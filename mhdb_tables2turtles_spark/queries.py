@@ -1262,5 +1262,5 @@ def oracles() -> dict[str, str]:
         "multimodal_frames": _SQL_FRAMES,
         **sheet_oracles(),
         **cleaning_oracles(),
-        **graph_oracles(_SQL_KG_COOC),
+        **graph_oracles(_SQL_KG_COOC, _SQL_MENTIONS, _SQL_KG_TRIPLES),
     }

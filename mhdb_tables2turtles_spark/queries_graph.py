@@ -478,6 +478,191 @@ def _sql_link_predict(cooc_sql: str) -> str:
 """
 
 
+# ------------------------------------------------- triple-table queries
+
+# star BGP: docs that mention ALL THREE of spark/join/hash (as minted
+# by kg_triples' IRI kernel), returning every triple of each match
+_STAR_PATTERNS = [
+    (":mentions", ":Spark"),
+    (":mentions", ":Join"),
+    (":mentions", ":Hash"),
+]
+
+
+def q_kg_star_join(spark, sf_dir):
+    """Star Basic Graph Pattern over the materialized triple table
+    (web/kgquery.py::bgp_star): one aggregation + one semi-join instead
+    of the naive P-1 self-joins."""
+    from mhdb_tables2turtles_spark.queries import q_kg_triples
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_star
+
+    return bgp_star(q_kg_triples(spark, sf_dir), _STAR_PATTERNS)
+
+
+def _sql_star(triples_sql: str) -> str:
+    hit = " or ".join(
+        f"(predicate = '{p}' and object = '{o}')" for p, o in _STAR_PATTERNS
+    )
+    return f"""
+    with t as ({triples_sql}),
+    hit as (
+        select subject from t
+        where {hit}
+        group by subject
+        having count(distinct predicate || '|' || object)
+               = {len(_STAR_PATTERNS)}
+    )
+    select t.subject, t.predicate, t.object
+    from t where t.subject in (select subject from hit)
+"""
+
+
+def q_kg_triple_diff(spark, sf_dir):
+    """Snapshot diff (web/kgquery.py::triple_diff) between two simulated
+    crawl snapshots: the base snapshot saw docs with doc_id % 3 != 2,
+    the re-crawl sees doc_id % 3 != 0 — most pages shared, some dropped,
+    some new, so all three statuses appear.  Triples are minted with
+    the same IRI kernel as kg_triples, WITHOUT pre-distincting each
+    side: the diff's own presence-flag aggregation collapses duplicates
+    map-side, saving a shuffle per snapshot."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import _mention_counts
+    from mhdb_tables2turtles_spark.web.kgquery import triple_diff
+
+    m = _mention_counts(spark, sf_dir)
+
+    def mint(side):
+        return side.select(
+            udfs.iri(
+                F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+                "delimited",
+            ).alias("subject"),
+            F.lit(":mentions").alias("predicate"),
+            udfs.iri(F.col("term"), "PascalCase").alias("object"),
+        )
+
+    old = mint(m.filter(F.col("doc_id") % 3 != 2))
+    new = mint(m.filter(F.col("doc_id") % 3 != 0))
+    return triple_diff(old, new)
+
+
+def _sql_triple_diff(mentions_sql: str) -> str:
+    mint = (
+        "select ':doc_'||doc_id as subject, ':mentions' as predicate, "
+        "':'||upper(term[1])||term[2:] as object from m"
+    )
+    return f"""
+    with m as ({mentions_sql}),
+    o as ({mint} where doc_id % 3 != 2),
+    n as ({mint} where doc_id % 3 != 0),
+    u as (select *, 1 as f_o, 0 as f_n from o
+          union all select *, 0, 1 from n)
+    select subject, predicate, object,
+           case when max(f_o) = 1 and max(f_n) = 1 then 'kept'
+                when max(f_n) = 1 then 'added'
+                else 'removed' end as status
+    from u group by subject, predicate, object
+"""
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core decomposition (web/graphrank.py::kcore) of the co-mention
+    graph with n_docs >= 2 edges: members of the 3-core and their
+    in-core degree after 4 unrolled peel rounds (tests assert a 5th
+    round is a no-op on the fixture)."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+    from mhdb_tables2turtles_spark.web.graphrank import kcore
+
+    edges = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore(cooc_sql: str) -> str:
+    parts = [
+        f"""with e0raw as (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+        ),
+        e0 as (select term_a as u, term_b as v from e0raw
+               union all select term_b, term_a from e0raw)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""k{i} as (select u from e{i-1} group by u
+                     having count(*) >= {_KCORE_K}),
+        e{i} as (select e.u, e.v from e{i-1} e
+                 join k{i} a on e.u = a.u
+                 join k{i} b on e.v = b.u)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    select u as node, cast(count(*) as bigint) as core_degree
+    from e{_KCORE_ROUNDS} group by u
+"""
+    )
+
+
+# upsert-compaction cutoff: 2024-01-20T00:00:00 as epoch-microseconds
+# (events fixtures span all of Jan 2024 at every sf)
+_SNAPSHOT_CUTOFF_US = 1_705_708_800_000_000
+
+
+def q_events_snapshot(spark, sf_dir):
+    """Upsert-compaction (web/kgquery.py::latest_state): the latest
+    (value, ts, event id) per (user, event_type) as of a fixed cutoff —
+    the read-side view of a merge-on-read changelog, as ONE max_by
+    aggregation (no window sort).  Times as epoch-µs longs (the NTZ
+    recipe every temporal oracle here uses)."""
+    from mhdb_tables2turtles_spark.web.kgquery import latest_state
+
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("ts_us"),
+    )
+    state = latest_state(
+        ev.filter(F.col("ts_us") <= _SNAPSHOT_CUTOFF_US),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_us", "event_id"],
+        value_cols=["event_id", "ts_us", "value"],
+    )
+    return state.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_SQL_EVENTS_SNAPSHOT = f"""
+    with s as (
+        select user_id, event_type, event_id, value, epoch_us(ts) as ts_us
+        from events where epoch_us(ts) <= {_SNAPSHOT_CUTOFF_US}
+    )
+    select user_id, event_type,
+           event_id as last_event_id,
+           ts_us as last_ts_us,
+           value as last_value
+    from (select *, row_number() over (
+              partition by user_id, event_type
+              order by ts_us desc, event_id desc) as rn from s)
+    where rn = 1
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -488,10 +673,16 @@ GRAPH_QUERIES = {
     "kg_hops": q_kg_hops,
     "kg_lpa": q_kg_lpa,
     "kg_link_predict": q_kg_link_predict,
+    "kg_star_join": q_kg_star_join,
+    "kg_triple_diff": q_kg_triple_diff,
+    "kg_kcore": q_kg_kcore,
+    "events_snapshot": q_events_snapshot,
 }
 
 
-def graph_oracles(cooc_sql: str) -> dict[str, str]:
+def graph_oracles(
+    cooc_sql: str, mentions_sql: str, triples_sql: str
+) -> dict[str, str]:
     return {
         "kg_pagerank": _sql_pagerank(cooc_sql),
         "embed_ivf": _sql_ivf(),
@@ -502,4 +693,8 @@ def graph_oracles(cooc_sql: str) -> dict[str, str]:
         "kg_hops": _sql_bfs(cooc_sql),
         "kg_lpa": _sql_lpa(cooc_sql),
         "kg_link_predict": _sql_link_predict(cooc_sql),
+        "kg_star_join": _sql_star(triples_sql),
+        "kg_triple_diff": _sql_triple_diff(mentions_sql),
+        "kg_kcore": _sql_kcore(cooc_sql),
+        "events_snapshot": _SQL_EVENTS_SNAPSHOT,
     }

@@ -35,6 +35,7 @@ __all__ = [
     "bfs_hops",
     "label_propagation",
     "link_predict",
+    "kcore",
 ]
 
 SCALE = 1_000_000
@@ -286,3 +287,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """(node, core_degree): members of the k-core — the maximal subgraph
+    in which every node has degree >= ``k`` — of the undirected graph
+    given as distinct ``(src, dst)`` pairs, with each member's degree
+    inside the core.  The standard peel: drop every node with degree
+    < k, recompute degrees on the induced subgraph, repeat.
+
+    ``rounds`` is a FIXED synchronous round count (like
+    :func:`pagerank_fixed`) so the DuckDB oracle can unroll the same
+    peel as chained CTEs; callers must pick it >= the peel cascade
+    depth of their graph (tests assert one extra round is a no-op on
+    the fixture).  At web scale run the same loop to a fixpoint with a
+    per-round early exit when the kept-node count stops falling — the
+    per-round cost already shrinks with the surviving subgraph.
+
+    Scale shape per round: one degree aggregation (map-side partials)
+    + two semi-joins filtering the edge list on its endpoints.  The
+    kept-node set only ever shrinks, so AQE's runtime size estimate
+    flips the semi-joins to broadcast as soon as the survivor set is
+    small; the degree agg is where hub skew lands, handled by AQE
+    skew-split as in :func:`pagerank_fixed`.  Each round is eagerly
+    checkpointed: bounded lineage, and no recompute amplification of
+    the earlier rounds.
+    """
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    cur = both.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy("u").agg(F.count("*").alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )

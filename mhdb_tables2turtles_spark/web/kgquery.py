@@ -1,0 +1,138 @@
+"""Query and maintenance operators over a MATERIALIZED triple table —
+the consumer side of the KG-construction pipeline.
+
+The reference stops at emitting Turtle (mhdb/write_ttl.py); a pipeline
+that materializes (subject, predicate, object) rows to a table (our
+``web/materialize.py`` stage) also needs the table to be queryable and
+maintainable.  Three operators cover the core of that surface:
+
+* :func:`bgp_star` — a star Basic Graph Pattern (the SPARQL shape
+  ``?s p1 o1 . ?s p2 o2 . ...``) answered with ONE aggregation instead
+  of the textbook chain of P-1 self-joins.
+* :func:`triple_diff` — snapshot diff between two triple sets
+  (added / removed / kept), the primitive behind incremental re-crawl
+  updates of an Iceberg triple table.
+* :func:`latest_state` — upsert-compaction: latest property value per
+  (entity, property) as of a cutoff, i.e. the read-side view of a
+  merge-on-read triple changelog.
+
+All three are pure DataFrame compositions (no UDFs, whole-stage
+codegen end to end) with exactly one shuffle each on a near-uniform
+key, so they inherit AQE's skew handling and survive a 100x scale-up
+unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bgp_star", "triple_diff", "latest_state"]
+
+
+def bgp_star(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str]],
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+) -> DataFrame:
+    """All triples of every subject matching a star BGP: ``patterns``
+    is a list of ``(predicate, object)`` literal pairs and a subject
+    matches when it has ALL of them (``?s p1 o1 . ?s p2 o2 . ...``).
+
+    Plan shape: instead of P-1 self-joins on ``subject`` (one shuffle
+    each, the naive SPARQL translation), tag each triple with the
+    index of the pattern it satisfies, aggregate ONCE by subject
+    counting distinct satisfied patterns, and keep subjects hitting
+    all P — a single shuffle whose input is pre-filtered to only the
+    pattern-matching rows (the filter pushes into the scan).  The
+    matching-subject set then semi-joins back against the full table
+    to return the whole star; star patterns are selective, so AQE's
+    runtime size estimate turns that semi-join into a broadcast —
+    at 10^12 triples the only full-size shuffle is the one
+    aggregation.
+    """
+    if not patterns:
+        raise ValueError("bgp_star needs at least one (predicate, object)")
+    tag = F.lit(None).cast("int")
+    for i, (p, o) in enumerate(patterns):
+        tag = F.when(
+            (F.col(predicate_col) == p) & (F.col(object_col) == o), F.lit(i)
+        ).otherwise(tag)
+    matched = (
+        triples.withColumn("__pat", tag)
+        .filter(F.col("__pat").isNotNull())
+        .groupBy(subject_col)
+        .agg(F.count_distinct("__pat").alias("__n"))
+        .filter(F.col("__n") == len(patterns))
+        .select(subject_col)
+    )
+    return triples.join(matched, subject_col, "left_semi")
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(subject, predicate, object, status): diff two triple snapshots —
+    ``added`` (new only), ``removed`` (old only), ``kept`` (both).
+
+    This is the maintenance primitive for incremental KG updates: a
+    re-crawl batch produces a new per-page triple set; the diff against
+    the committed snapshot is what gets merged into the Iceberg triple
+    table (and what downstream consumers subscribe to).
+
+    Plan shape: tag each side with presence flags, union, and take
+    ``max`` per (s, p, o) — ONE shuffle keyed by the full triple
+    (near-uniform; duplicate triples collapse map-side in the partial
+    aggregation), versus the two shuffles of the naive
+    full-outer-join formulation.
+    """
+    cols = ["subject", "predicate", "object"]
+    tagged = old.select(
+        *cols, F.lit(1).alias("__o"), F.lit(0).alias("__n")
+    ).unionAll(new.select(*cols, F.lit(0).alias("__o"), F.lit(1).alias("__n")))
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.max("__o").alias("__o"), F.max("__n").alias("__n"))
+        .select(
+            *cols,
+            F.when((F.col("__o") == 1) & (F.col("__n") == 1), F.lit("kept"))
+            .when(F.col("__n") == 1, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("status"),
+        )
+    )
+
+
+def latest_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """One row per ``keys`` group: the ``value_cols`` of the row with
+    the lexicographically greatest ``order_cols`` — upsert-compaction
+    of a changelog (latest property value per entity as of whatever
+    cutoff the caller pre-filtered to).
+
+    ``order_cols`` must be unique per group (e.g. end with the event
+    id) so the argmax is deterministic on both engines.
+
+    Plan shape: ``max_by(struct(values), struct(order))`` — a partially
+    aggregating argmax, ONE shuffle moving one candidate row per map
+    partition per key, versus the ``row_number() over (partition by
+    ...)`` formulation whose Exchange carries EVERY changelog row and
+    then globally sorts each partition.  (Struct-typed buffers make
+    Catalyst pick SortAggregate over HashAggregate — the sort is local
+    to each already-reduced side, not the shuffle's.)  Keys are the
+    entity id: near-uniform, AQE skew-split for the rest.
+    """
+    order_key = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    picked = df.groupBy(*keys).agg(
+        F.max_by(payload, order_key).alias("__last")
+    )
+    return picked.select(
+        *keys, *[F.col(f"__last.{c}").alias(c) for c in value_cols]
+    )

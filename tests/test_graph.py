@@ -413,3 +413,104 @@ def test_lpa_round_plan_no_window_no_sort(spark):
     # exchanges: join input(s) + one for the argmin — never the extra
     # full Exchange + sort the window-after-groupBy form paid
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_kcore_clique_plus_tail(spark):
+    # 4-clique {a,b,c,d} + a tail d-e-f: 3-core == the clique, each
+    # member with in-core degree 3; the tail peels off in 2 rounds
+    from mhdb_tables2turtles_spark.web.graphrank import kcore
+
+    clique = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in clique for y in clique if x < y]
+    edges += [("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.core_degree for r in kcore(df, k=3, rounds=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # one more round is a no-op (the fixture-convergence discipline the
+    # driver query relies on)
+    again = {r.node: r.core_degree for r in kcore(df, k=3, rounds=4).collect()}
+    assert again == got
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import kcore
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    assert kcore(df, k=2, rounds=2).count() == 0  # path has no 2-core
+
+
+def test_bgp_star_semantics(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_star
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d1", ":mentions", ":B"),
+            (":d1", ":lang", ":En"),
+            (":d2", ":mentions", ":A"),  # missing :B -> no match
+            (":d3", ":mentions", ":B"),
+            (":d3", ":mentions", ":A"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = bgp_star(t, [(":mentions", ":A"), (":mentions", ":B")]).collect()
+    by_subj = {}
+    for r in got:
+        by_subj.setdefault(r.subject, set()).add((r.predicate, r.object))
+    # full star returned (including the non-pattern :lang triple of d1)
+    assert set(by_subj) == {":d1", ":d3"}
+    assert (":lang", ":En") in by_subj[":d1"]
+    assert len(by_subj[":d1"]) == 3 and len(by_subj[":d3"]) == 2
+
+
+def test_bgp_star_duplicate_pattern_rows_count_once(spark):
+    # two rows satisfying the SAME pattern must not satisfy a 2-pattern
+    # star (count_distinct on the pattern index, not a bare count)
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_star
+
+    t = spark.createDataFrame(
+        [(":d1", ":p", ":A"), (":d1", ":p", ":A")],
+        ["subject", "predicate", "object"],
+    )
+    assert bgp_star(t, [(":p", ":A"), (":p", ":B")]).count() == 0
+
+
+def test_triple_diff_statuses(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import triple_diff
+
+    cols = ["subject", "predicate", "object"]
+    old = spark.createDataFrame(
+        [(":s", ":p", ":kept"), (":s", ":p", ":gone"), (":s", ":p", ":gone")],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [(":s", ":p", ":kept"), (":s", ":p", ":new")], cols
+    )
+    got = {r.object: r.status for r in triple_diff(old, new).collect()}
+    assert got == {":kept": "kept", ":gone": "removed", ":new": "added"}
+
+
+def test_latest_state_picks_argmax_no_window_sort(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import latest_state
+
+    df = spark.createDataFrame(
+        [(1, "x", 10, 100, 1.0), (1, "x", 20, 101, 2.0), (2, "x", 5, 50, 9.0)],
+        ["k", "t", "event_id", "ts_us", "value"],
+    )
+    out = latest_state(
+        df, keys=["k", "t"], order_cols=["ts_us", "event_id"],
+        value_cols=["event_id", "value"],
+    )
+    got = {(r.k, r.t): (r.event_id, r.value) for r in out.collect()}
+    assert got == {(1, "x"): (20, 2.0), (2, "x"): (5, 9.0)}
+    # single-agg argmax: no Window operator and ONE exchange (max_by over
+    # a struct lands on SortAggregate — still partial-aggregated map-side,
+    # so one candidate row per map partition per key crosses the wire;
+    # the row_number formulation would be Exchange + full partition sort
+    # of EVERY row plus a Window)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE echoes the pre-adaptive plan below "== Initial Plan ==";
+    # count operators in the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
