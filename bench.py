@@ -85,7 +85,34 @@ BENCH_QUERIES = (
     # round-4 additions
     "dedup_incremental",
     "text_line_repetition",
+    "kg_star_join",
+    "kg_triple_diff",
+    "kg_kcore",
+    "events_snapshot",
+    "kg_components_incremental",
+    "kg_chain_join",
+    "kg_clustering",
 )
+
+
+def time_link_graph(spark, n_pages: int, partitions: int) -> float:
+    """Host-level link-graph build + directed PageRank over a linked
+    synthetic corpus (pre-materialized, generation untimed)."""
+    from mhdb_tables2turtles_spark.web.linkgraph import host_pagerank
+    from mhdb_tables2turtles_spark.web.pages import synthesize_pages
+
+    tmp = tempfile.mkdtemp(prefix="bench_links_")
+    try:
+        path = os.path.join(tmp, "corpus")
+        synthesize_pages(
+            spark, n_pages, seed=42, partitions=partitions, with_links=True
+        ).write.mode("overwrite").parquet(path)
+        pages = spark.read.parquet(path)
+        t0 = time.time()
+        host_pagerank(pages, iterations=5).count()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def time_pipeline(spark, n_pages: int, partitions: int) -> dict:
@@ -165,6 +192,12 @@ def main() -> None:
             pipe = again
     total += pipe["pipeline_sec"]
     per_query["web_kg_pipeline"] = pipe["pipeline_sec"]
+
+    lg = time_link_graph(spark, n_pages, partitions=cpus * 2)
+    for _ in range(reps - 1):
+        lg = min(lg, time_link_graph(spark, n_pages, partitions=cpus * 2))
+    total += lg
+    per_query["web_link_graph"] = lg
 
     print(
         json.dumps(

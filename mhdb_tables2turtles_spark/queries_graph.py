@@ -663,6 +663,177 @@ _SQL_EVENTS_SNAPSHOT = f"""
 """
 
 
+# --------------------------------------- round-4: incremental + analytics
+
+
+def q_kg_components_incremental(spark, sf_dir):
+    """Incremental canonicalization
+    (web/canonicalize.py::merge_components): prev labels = connected
+    components over the 'old crawl' co-mention edges (even n_docs),
+    then the 'new crawl' batch (odd n_docs) is merged in — only the
+    touched components re-propagate.  The merge is provably identical
+    to a from-scratch CC over ALL edges, which is exactly what the
+    oracle computes (recursive-CTE transitive closure), so the oracle
+    checks the incremental path's equivalence guarantee itself."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+    from mhdb_tables2turtles_spark.web.canonicalize import (
+        connected_components,
+        merge_components,
+    )
+
+    e = q_kg_cooccurrence(spark, sf_dir).filter(
+        F.col("n_docs") >= _PR_MIN_DOCS
+    )
+
+    def sel(df):
+        return df.select(
+            F.col("term_a").alias("src"), F.col("term_b").alias("dst")
+        )
+
+    prev = connected_components(sel(e.filter(F.col("n_docs") % 2 == 0)))
+    return merge_components(prev, sel(e.filter(F.col("n_docs") % 2 == 1)))
+
+
+def _sql_components_incremental(cooc_sql: str) -> str:
+    return f"""
+    with recursive e0 as (
+        select term_a, term_b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+    ),
+    e as (select term_a as u, term_b as v from e0
+          union select term_b, term_a from e0),
+    nodes as (select distinct u as node from e),
+    reach(node, r) as (
+        select node, node from nodes
+        union
+        select reach.node, e.v from reach join e on reach.r = e.u
+    )
+    select node, min(r) as component from reach group by node
+"""
+
+
+_CHAIN_MIN_DOCS = 3
+
+# IRI mint twin of the queries.py kernel for single-token vocab terms
+_SQL_TERM_IRI_A = "':'||upper(term_a[1])||term_a[2:]"
+_SQL_TERM_IRI_B = "':'||upper(term_b[1])||term_b[2:]"
+
+
+def q_kg_chain_join(spark, sf_dir):
+    """Property-path chain BGP (web/kgquery.py::bgp_chain):
+    ``?doc :mentions ?e . ?e :coOccursWith ?e2`` — expand each page's
+    entities one hop through the co-mention graph (the 'related
+    entities' query a KG consumer runs).  The entity→entity triples
+    are minted from strong co-occurrence edges with the same IRI
+    kernel as the mention triples."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import (
+        q_kg_cooccurrence,
+        q_kg_triples,
+    )
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_chain
+
+    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
+        F.col("n_docs") >= _CHAIN_MIN_DOCS
+    )
+
+    def mint(a, b):
+        return cooc.select(
+            udfs.iri(F.col(a), "PascalCase").alias("subject"),
+            F.lit(":coOccursWith").alias("predicate"),
+            udfs.iri(F.col(b), "PascalCase").alias("object"),
+        )
+
+    triples = (
+        q_kg_triples(spark, sf_dir)
+        .unionByName(mint("term_a", "term_b"))
+        .unionByName(mint("term_b", "term_a"))
+    )
+    return bgp_chain(triples, [":mentions", ":coOccursWith"]).select(
+        F.col("x0").alias("doc"),
+        F.col("x1").alias("entity"),
+        F.col("x2").alias("related"),
+    )
+
+
+def _sql_chain(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with c as (
+        select term_a, term_b from ({cooc_sql})
+        where n_docs >= {_CHAIN_MIN_DOCS}
+    ),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    m as (select subject as doc, object as entity from ({triples_sql})
+          where predicate = ':mentions')
+    select distinct m.doc, m.entity, ee.o as related
+    from m join ee on m.entity = ee.s
+"""
+
+
+def q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity of the strong co-mention
+    graph, as integer basis points: ``lcc_bp = 20000 * triangles div
+    (deg * (deg - 1))`` — a pure composition of
+    :func:`~mhdb_tables2turtles_spark.web.graphrank.triangle_counts`
+    and a degree aggregation (nodes with deg >= 2).  Integer division
+    keeps the value engine-exact for the oracle."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+    from mhdb_tables2turtles_spark.web.graphrank import triangle_counts
+
+    edges = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .select(F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.expr(
+            "(20000 * coalesce(n_triangles, 0)) div (degree * (degree - 1))"
+        ).alias("lcc_bp"),
+    )
+
+
+def _sql_clustering(cooc_sql: str) -> str:
+    return f"""
+    with e as (
+        select term_a as a, term_b as b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+    ),
+    deg as (
+        select node, count(*) as degree
+        from (select a as node from e union all select b from e)
+        group by node having count(*) >= 2
+    ),
+    tri as (
+        select ab.a, ab.b, bc.b as c
+        from e ab
+        join e bc on ab.b = bc.a
+        join e ac on ac.a = ab.a and ac.b = bc.b
+    ),
+    corners as (select a as node from tri
+                union all select b from tri
+                union all select c from tri),
+    t as (select node, count(*) as n_triangles from corners group by node)
+    select deg.node, deg.degree,
+           coalesce(t.n_triangles, 0) as n_triangles,
+           (20000 * coalesce(t.n_triangles, 0))
+               // (deg.degree * (deg.degree - 1)) as lcc_bp
+    from deg left join t on deg.node = t.node
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -677,6 +848,9 @@ GRAPH_QUERIES = {
     "kg_triple_diff": q_kg_triple_diff,
     "kg_kcore": q_kg_kcore,
     "events_snapshot": q_events_snapshot,
+    "kg_components_incremental": q_kg_components_incremental,
+    "kg_chain_join": q_kg_chain_join,
+    "kg_clustering": q_kg_clustering,
 }
 
 
@@ -697,4 +871,7 @@ def graph_oracles(
         "kg_triple_diff": _sql_triple_diff(mentions_sql),
         "kg_kcore": _sql_kcore(cooc_sql),
         "events_snapshot": _SQL_EVENTS_SNAPSHOT,
+        "kg_components_incremental": _sql_components_incremental(cooc_sql),
+        "kg_chain_join": _sql_chain(cooc_sql, triples_sql),
+        "kg_clustering": _sql_clustering(cooc_sql),
     }

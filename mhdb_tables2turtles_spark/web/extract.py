@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["extract_text", "extract_text_col"]
+__all__ = ["extract_text", "extract_text_col", "extract_links"]
 
 # Order matters and is part of the byte-identity contract — do not
 # "improve" these patterns without versioning the extractor.
@@ -45,6 +45,28 @@ def extract_text(html: bytes | None) -> str | None:
     b = _TAG.sub(b" ", b)
     s = _html.unescape(b.decode("utf-8", errors="replace"))
     return " ".join(s.split())
+
+
+_HREF = re.compile(
+    rb"(?is)<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+)
+
+
+def extract_links(html: bytes | None) -> list[str] | None:
+    """Ordered href values of every ``<a>`` tag (v1, frozen like
+    :func:`extract_text`): raw attribute text, entity-unescaped,
+    whitespace-stripped, empty hrefs dropped, relative links kept
+    (resolution against the page url is the caller's step so this
+    stays a pure function of the html bytes)."""
+    if html is None:
+        return None
+    out = []
+    for m in _HREF.finditer(html):
+        raw = next(g for g in m.groups() if g is not None)
+        href = _html.unescape(raw.decode("utf-8", errors="replace")).strip()
+        if href:
+            out.append(href)
+    return out
 
 
 _UDF = None

@@ -36,6 +36,7 @@ __all__ = [
     "label_propagation",
     "link_predict",
     "kcore",
+    "pagerank_directed",
 ]
 
 SCALE = 1_000_000
@@ -74,6 +75,54 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
         )
     # materialize before releasing the cached adjacency: long-lived
     # sessions (bench/gate loops) otherwise accumulate pinned partitions
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    return ranks
+
+
+def pagerank_directed(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """(node, pr): integer micro-unit PageRank over a DIRECTED graph of
+    distinct ``(src, dst)`` pairs — the hyperlink case
+    (:mod:`~mhdb_tables2turtles_spark.web.linkgraph`), where authority
+    flows along the link, not both ways.
+
+    Differences from :func:`pagerank_fixed` forced by direction: the
+    node universe is pinned once (sources ∪ sinks) and every round
+    LEFT-joins contributions onto it, so no-inlink nodes keep their
+    base rank instead of silently dropping out of the ``groupBy(v)``
+    output, and dangling nodes (no outlinks) simply contribute nothing
+    — mass is not renormalized, which keeps every round in exact
+    integer arithmetic (same determinism contract as the undirected
+    twin).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = e.join(deg, "src").cache()
+    base = (15 * SCALE) // 100
+
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(85 * pr) div (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).alias("pr"),
+        )
     ranks = ranks.localCheckpoint(eager=True)
     adj.unpersist()
     return ranks

@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_star", "triple_diff", "latest_state"]
+__all__ = ["bgp_star", "bgp_chain", "triple_diff", "latest_state"]
 
 
 def bgp_star(
@@ -71,6 +71,54 @@ def bgp_star(
         .select(subject_col)
     )
     return triples.join(matched, subject_col, "left_semi")
+
+
+def bgp_chain(
+    triples: DataFrame,
+    predicates: Sequence[str],
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+    distinct: bool = True,
+) -> DataFrame:
+    """Property-path chain BGP: ``?x0 p1 ?x1 . ?x1 p2 ?x2 . ...`` —
+    every path through the graph following ``predicates`` in order,
+    returned as columns ``x0 .. xK``.
+
+    Plan shape: each hop is the triple table FILTERED to one predicate
+    before it joins — on a predicate-partitioned triple store (the
+    standard physical layout for an Iceberg triple table: partition by
+    predicate, sort by subject) that filter is partition pruning, so
+    each hop scans only its predicate's slice instead of all 10^12
+    triples.  The joins are equi-joins on entity IRIs: hub entities
+    (owl:Thing-style) skew those keys, which is exactly the AQE
+    skew-join case; at a known-pathological hub, pre-cap with the same
+    degree-threshold treatment as
+    :func:`~mhdb_tables2turtles_spark.web.graphrank.link_predict`.
+
+    ``distinct`` collapses duplicate paths contributed by duplicate
+    triples (set semantics, the SPARQL default); pass ``False`` for
+    bag semantics.
+    """
+    if not predicates:
+        raise ValueError("bgp_chain needs at least one predicate")
+    cur = triples.filter(F.col(predicate_col) == predicates[0]).select(
+        F.col(subject_col).alias("x0"), F.col(object_col).alias("x1")
+    )
+    if distinct:
+        cur = cur.distinct()
+    for i, p in enumerate(predicates[1:], start=2):
+        hop = triples.filter(F.col(predicate_col) == p).select(
+            F.col(subject_col).alias(f"x{i - 1}"),
+            F.col(object_col).alias(f"x{i}"),
+        )
+        if distinct:
+            hop = hop.distinct()
+        cur = cur.join(hop, f"x{i - 1}")
+        if distinct:
+            cur = cur.distinct()
+    # column order x0..xK regardless of join-key reordering
+    return cur.select(*[f"x{i}" for i in range(len(predicates) + 1)])
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -52,7 +52,20 @@ _TEMPLATE = """<html><head><title>{title}</title>
 </body></html>"""
 
 
-def _page_record(pid: int, seed: int, surfaces: list[str]) -> dict:
+_N_HOSTS = 37  # synthetic host universe when links are enabled
+
+
+def _linked_url(pid: int) -> str:
+    return f"https://site{pid % _N_HOSTS:02d}.example/p/{pid:09d}"
+
+
+def _page_record(
+    pid: int,
+    seed: int,
+    surfaces: list[str],
+    with_links: bool = False,
+    n_pages: int = 0,
+) -> dict:
     rng = random.Random((seed << 32) ^ pid)  # deterministic per (seed, id)
     lang = _LANGS[pid % len(_LANGS)]
     # Common-Crawl-like body size: ~2-8 KB of extracted text per page
@@ -67,11 +80,32 @@ def _page_record(pid: int, seed: int, surfaces: list[str]) -> dict:
                 words.append(rng.choice(_FILLER))
         paras.append("<p>" + " ".join(words) + "</p>")
     title = f"report {pid} on {rng.choice(surfaces) if surfaces else 'data'}"
+    if with_links and n_pages > 1:
+        # deterministic cross-page anchors: a handful of same-crawl
+        # targets (skew toward low ids -> hub hosts, like real crawls),
+        # relative + scheme-noise variants so the extractor earns its keep
+        anchors = []
+        for _ in range(rng.randint(2, 6)):
+            target = rng.randrange(n_pages)
+            if rng.random() < 0.35:
+                # hub skew: real crawls concentrate links on few big
+                # hosts — snap this target onto hosts 0..4
+                base = (target // _N_HOSTS) * _N_HOSTS
+                hub = base + rng.randrange(5)
+                target = hub if hub < n_pages else hub % _N_HOSTS
+            anchors.append(
+                f'<a href="{_linked_url(target)}">ref {target}</a>'
+            )
+        anchors.append('<a href="/about">about</a>')  # relative, same host
+        anchors.append('<a href="mailto:ed@example.org">mail</a>')  # dropped
+        paras.append("<p>see also " + " ".join(anchors) + "</p>")
     html = _TEMPLATE.format(title=title, pid=pid, paras="\n".join(paras)).encode(
         "utf-8"
     )
     return {
-        "url": f"https://example.org/crawl/{pid:012d}",
+        "url": _linked_url(pid)
+        if with_links
+        else f"https://example.org/crawl/{pid:012d}",
         # fixed epoch + deterministic offset; never the wall clock
         "warc_ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=pid * 37 % 86_400),
         "html": html,
@@ -86,17 +120,26 @@ def synthesize_pages(
     seed: int = 42,
     surfaces: tuple[str, ...] = (),
     partitions: int | None = None,
+    with_links: bool = False,
 ) -> DataFrame:
     """Distributed generator: one deterministic page per id in
     ``[0, n_pages)``.  ``surfaces`` (the vocabulary) ships with the closure
-    — it is small (ontology-sized), so no broadcast plumbing needed."""
+    — it is small (ontology-sized), so no broadcast plumbing needed.
+
+    ``with_links=True`` spreads the crawl over ``_N_HOSTS`` synthetic
+    hosts and embeds deterministic cross-page ``<a href>`` anchors
+    (low-id hub skew) for the :mod:`linkgraph` operators; default off
+    so every existing fixture stays byte-identical."""
     surf = list(surfaces)
     ids = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
             yield pd.DataFrame(
-                [_page_record(int(i), seed, surf) for i in pdf["id"]]
+                [
+                    _page_record(int(i), seed, surf, with_links, n_pages)
+                    for i in pdf["id"]
+                ]
             )
 
     return ids.mapInPandas(gen, schema=PAGES_SCHEMA)

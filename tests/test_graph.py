@@ -514,3 +514,81 @@ def test_latest_state_picks_argmax_no_window_sort(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_merge_components_equals_full_recompute(spark):
+    from mhdb_tables2turtles_spark.web.canonicalize import (
+        connected_components,
+        merge_components,
+    )
+
+    cols = ["src", "dst"]
+    # old crawl: {a,b,c} and {d,e}; plus untouched {x,y}
+    old = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y")], cols
+    )
+    # new crawl: bridges the two touched clusters and adds a new node f
+    new = spark.createDataFrame([("c", "d"), ("e", "f")], cols)
+    prev = connected_components(old)
+    got = {
+        r.node: r.component
+        for r in merge_components(prev, new).collect()
+    }
+    want = {
+        r.node: r.component
+        for r in connected_components(old.unionAll(new)).collect()
+    }
+    assert got == want
+    assert got["f"] == "a" and got["x"] == "x" and got["y"] == "x"
+
+
+def test_merge_components_untouched_labels_pass_through(spark):
+    # untouched components must not enter the propagate loop: their
+    # labels come back via the anti-join side bit-identically even if
+    # the stored representative is NOT the min (simulating a prior run
+    # whose ids came from a different convention)
+    from mhdb_tables2turtles_spark.web.canonicalize import merge_components
+
+    prev = spark.createDataFrame(
+        [("p", "zz"), ("q", "zz"), ("zz", "zz"), ("m", "m")],
+        ["node", "component"],
+    )
+    new = spark.createDataFrame([("m", "n")], ["src", "dst"])
+    got = {r.node: r.component for r in merge_components(prev, new).collect()}
+    # {p,q,zz} untouched -> its non-min label 'zz' survives verbatim
+    assert got == {"p": "zz", "q": "zz", "zz": "zz", "m": "m", "n": "m"}
+
+
+def test_bgp_chain_two_hop(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_chain
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d1", ":mentions", ":A"),  # duplicate triple -> one path
+            (":A", ":rel", ":B"),
+            (":A", ":rel", ":C"),
+            (":B", ":rel", ":C"),  # reachable only via 3-hop, not 2-hop
+            (":d2", ":other", ":A"),  # wrong predicate on hop 1
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {
+        (r.x0, r.x1, r.x2)
+        for r in bgp_chain(t, [":mentions", ":rel"]).collect()
+    }
+    assert got == {(":d1", ":A", ":B"), (":d1", ":A", ":C")}
+    rows = bgp_chain(t, [":mentions", ":rel"]).collect()
+    assert len(rows) == 2  # distinct semantics: the dup triple adds nothing
+
+
+def test_bgp_chain_three_hop_column_order(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_chain
+
+    t = spark.createDataFrame(
+        [(":a", ":p", ":b"), (":b", ":q", ":c"), (":c", ":p", ":d")],
+        ["subject", "predicate", "object"],
+    )
+    out = bgp_chain(t, [":p", ":q", ":p"])
+    assert out.columns == ["x0", "x1", "x2", "x3"]
+    assert [tuple(r) for r in out.collect()] == [(":a", ":b", ":c", ":d")]

@@ -316,3 +316,113 @@ def test_token_idf_precomputed_count_is_value_identical(spark):
     counted = {r.token: r.idf for r in token_idf(pages).collect()}
     passed = {r.token: r.idf for r in token_idf(pages, n_pages=3).collect()}
     assert counted == passed
+
+
+# ------------------------------------------------------------ link graph
+
+
+def test_extract_links_quote_variants_and_entities():
+    from mhdb_tables2turtles_spark.web.extract import extract_links
+
+    html = (
+        b'<p><a href="https://a.example/x?u=1&amp;v=2">x</a>'
+        b"<a href='/rel'>r</a>"
+        b"<A HREF=bare>b</A>"
+        b'<a class="z" href="">empty</a>'
+        b"<a name=anchor-only>no href</a></p>"
+    )
+    assert extract_links(html) == [
+        "https://a.example/x?u=1&v=2",
+        "/rel",
+        "bare",
+    ]
+    assert extract_links(None) is None
+    assert extract_links(b"<p>no anchors</p>") == []
+
+
+def test_page_links_resolution_and_scheme_filter(spark):
+    from mhdb_tables2turtles_spark.web.linkgraph import page_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h1.example/a/b",
+                b'<a href="/root">r</a><a href="sib">s</a>'
+                b'<a href="https://h2.example/z">abs</a>'
+                b'<a href="mailto:x@y">m</a><a href="javascript:void(0)">j</a>',
+            ),
+            ("https://h3.example/", None),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.url, r.link) for r in page_links(pages).collect()}
+    assert got == {
+        ("https://h1.example/a/b", "https://h1.example/root"),
+        ("https://h1.example/a/b", "https://h1.example/a/sib"),
+        ("https://h1.example/a/b", "https://h2.example/z"),
+    }
+
+
+def test_host_edges_drops_self_loops_and_counts(spark):
+    from mhdb_tables2turtles_spark.web.linkgraph import host_edges
+
+    mk = lambda *links: ("".join(
+        f'<a href="{l}">l</a>' for l in links
+    )).encode()
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1", mk("https://b.example/x",
+                                       "https://b.example/y",
+                                       "https://a.example/self")),
+            ("https://a.example/2", mk("https://c.example/")),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.src_host, r.dst_host): r.n_links for r in host_edges(pages).collect()}
+    assert got == {("a.example", "b.example"): 2, ("a.example", "c.example"): 1}
+
+
+def test_synth_links_deterministic_across_parallelism(spark):
+    from mhdb_tables2turtles_spark.web.linkgraph import host_edges
+    from mhdb_tables2turtles_spark.web.pages import synthesize_pages
+
+    def run(parts):
+        pages = synthesize_pages(
+            spark, 300, seed=9, partitions=parts, with_links=True
+        )
+        return {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_edges(pages).collect()
+        }
+
+    e2, e8 = run(2), run(8)
+    assert e2 == e8 and len(e2) > 10
+
+
+def test_host_pagerank_directed_hub_skew(spark):
+    from mhdb_tables2turtles_spark.web.linkgraph import host_pagerank
+    from mhdb_tables2turtles_spark.web.pages import synthesize_pages, _N_HOSTS
+
+    pages = synthesize_pages(spark, 300, seed=9, with_links=True)
+    pr = {r.node: r.pr for r in host_pagerank(pages, iterations=4).collect()}
+    assert len(pr) == _N_HOSTS
+    # min-of-two target sampling makes low-id hosts authority hubs
+    low = sum(pr[h] for h in pr if int(h[4:6]) < 5)
+    high = sum(pr[h] for h in pr if int(h[4:6]) >= 32)
+    assert low > high
+
+
+def test_pagerank_directed_no_inlink_node_keeps_base(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import (
+        SCALE,
+        pagerank_directed,
+    )
+
+    edges = spark.createDataFrame(
+        [("s", "t"), ("u", "t")], ["src", "dst"]
+    )
+    pr = {r.node: r.pr for r in pagerank_directed(edges, iterations=3).collect()}
+    base = (15 * SCALE) // 100
+    # sources have no inlinks -> exactly base; sink accumulates both
+    assert pr["s"] == base and pr["u"] == base
+    assert pr["t"] > base and set(pr) == {"s", "t", "u"}
