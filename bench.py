@@ -92,6 +92,8 @@ BENCH_QUERIES = (
     "kg_components_incremental",
     "kg_chain_join",
     "kg_clustering",
+    "kg_optional_join",
+    "events_rollup",
 )
 
 

@@ -834,6 +834,106 @@ def _sql_clustering(cooc_sql: str) -> str:
 """
 
 
+_OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
+
+
+def q_kg_optional_join(spark, sf_dir):
+    """SPARQL OPTIONAL (web/kgquery.py::bgp_optional): docs mentioning
+    :Spark, each with its :mentionsOften bindings (terms mentioned >= 3
+    times in that doc) or a single null row when it has none — the
+    left-join BGP shape, minted with the same IRI kernel as
+    kg_triples."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import _mention_counts
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_optional
+
+    m = _mention_counts(spark, sf_dir)
+
+    def mint(side, pred):
+        return side.select(
+            udfs.iri(
+                F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+                "delimited",
+            ).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            udfs.iri(F.col("term"), "PascalCase").alias("object"),
+        )
+
+    triples = mint(m, ":mentions").unionByName(
+        mint(m.filter(F.col("n") >= _OFTEN_MIN_N), ":mentionsOften")
+    )
+    return bgp_optional(
+        triples, (":mentions", ":Spark"), ":mentionsOften"
+    ).select(F.col("s").alias("doc"), F.col("v").alias("often"))
+
+
+def _sql_optional(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    req as (select distinct ':doc_'||doc_id as s from m
+            where term = 'spark'),
+    opt as (select distinct ':doc_'||doc_id as s,
+                   ':'||upper(term[1])||term[2:] as v
+            from m where n >= {_OFTEN_MIN_N})
+    select req.s as doc, opt.v as often
+    from req left join opt on req.s = opt.s
+"""
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style time rollup: event counts + micro-unit value
+    sums per (event_type, hour), with ROLLUP subtotal rows per
+    event_type and a grand total — one grouping-sets aggregation (one
+    shuffle; Spark expands the rollup map-side).  Values are quantized
+    to integer micro-units BEFORE summation so the sum is exact long
+    arithmetic on both engines (never a float sum); hours are epoch-µs
+    floors (all-positive timestamps, so Spark ``div`` == DuckDB
+    ``//``).  Rolled-up keys surface as '<all>' / -1 (the events
+    fixture has no null event_type)."""
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr(
+            f"(timestampdiff(MICROSECOND, {epoch}, ts)"
+            f" div {_US_PER_HOUR}) * {_US_PER_HOUR}"
+        ).alias("hour_us"),
+        F.expr("cast(round(value * 1000000) as long)").alias("vmicro"),
+    )
+    return (
+        ev.rollup("event_type", "hour_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("vmicro").alias("sum_value_micro"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("hour_us"), F.lit(-1)).alias("hour_us"),
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+
+
+_SQL_EVENTS_ROLLUP = f"""
+    with s as (
+        select event_type,
+               (epoch_us(ts) // {_US_PER_HOUR}) * {_US_PER_HOUR} as hour_us,
+               cast(round(value * 1000000) as bigint) as vmicro
+        from events
+    )
+    select coalesce(event_type, '<all>') as event_type,
+           coalesce(hour_us, -1) as hour_us,
+           count(*) as n_events,
+           cast(sum(vmicro) as bigint) as sum_value_micro
+    from s group by rollup(event_type, hour_us)
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -851,6 +951,8 @@ GRAPH_QUERIES = {
     "kg_components_incremental": q_kg_components_incremental,
     "kg_chain_join": q_kg_chain_join,
     "kg_clustering": q_kg_clustering,
+    "kg_optional_join": q_kg_optional_join,
+    "events_rollup": q_events_rollup,
 }
 
 
@@ -874,4 +976,6 @@ def graph_oracles(
         "kg_components_incremental": _sql_components_incremental(cooc_sql),
         "kg_chain_join": _sql_chain(cooc_sql, triples_sql),
         "kg_clustering": _sql_clustering(cooc_sql),
+        "kg_optional_join": _sql_optional(mentions_sql),
+        "events_rollup": _SQL_EVENTS_ROLLUP,
     }

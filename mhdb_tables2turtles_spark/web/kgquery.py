@@ -29,7 +29,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_star", "bgp_chain", "triple_diff", "latest_state"]
+__all__ = [
+    "bgp_star",
+    "bgp_chain",
+    "bgp_optional",
+    "triple_diff",
+    "latest_state",
+]
 
 
 def bgp_star(
@@ -119,6 +125,38 @@ def bgp_chain(
             cur = cur.distinct()
     # column order x0..xK regardless of join-key reordering
     return cur.select(*[f"x{i}" for i in range(len(predicates) + 1)])
+
+
+def bgp_optional(
+    triples: DataFrame,
+    required: tuple[str, str],
+    optional_pred: str,
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+) -> DataFrame:
+    """SPARQL OPTIONAL: ``?s req_p req_o . OPTIONAL { ?s opt_p ?v }`` —
+    every subject matching the required pattern, with one row per
+    optional-pattern binding and a single null-``v`` row when the
+    subject has none (left-join semantics, the SPARQL spec behavior).
+
+    Plan shape: both sides are predicate-filtered before the join
+    (partition pruning on a predicate-partitioned store); the required
+    side is distinct subjects (selective pattern → AQE broadcasts it),
+    the optional side joins LEFT from it so unmatched subjects survive.
+    """
+    p, o = required
+    subjects = (
+        triples.filter(
+            (F.col(predicate_col) == p) & (F.col(object_col) == o)
+        )
+        .select(F.col(subject_col).alias("s"))
+        .distinct()
+    )
+    opt = triples.filter(F.col(predicate_col) == optional_pred).select(
+        F.col(subject_col).alias("s"), F.col(object_col).alias("v")
+    ).distinct()
+    return subjects.join(opt, "s", "left")
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -592,3 +592,45 @@ def test_bgp_chain_three_hop_column_order(spark):
     out = bgp_chain(t, [":p", ":q", ":p"])
     assert out.columns == ["x0", "x1", "x2", "x3"]
     assert [tuple(r) for r in out.collect()] == [(":a", ":b", ":c", ":d")]
+
+
+def test_bgp_optional_left_join_semantics(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_optional
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d1", ":opt", ":X"),
+            (":d1", ":opt", ":Y"),
+            (":d2", ":m", ":A"),  # matches required, NO optional -> null
+            (":d3", ":m", ":B"),  # fails required
+            (":d3", ":opt", ":Z"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {
+        (r.s, r.v)
+        for r in bgp_optional(t, (":m", ":A"), ":opt").collect()
+    }
+    assert got == {(":d1", ":X"), (":d1", ":Y"), (":d2", None)}
+
+
+def test_events_rollup_levels(spark):
+    from mhdb_tables2turtles_spark.queries_graph import q_events_rollup
+
+    out = q_events_rollup(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    total = [r for r in rows if r.event_type == "<all>"]
+    assert len(total) == 1 and total[0].hour_us == -1
+    per_type = [
+        r for r in rows if r.event_type != "<all>" and r.hour_us == -1
+    ]
+    leaves = [r for r in rows if r.hour_us != -1]
+    # subtotal consistency: per-type rows sum to the grand total, and
+    # leaves sum to their type's subtotal
+    assert sum(r.n_events for r in per_type) == total[0].n_events
+    by_type = {}
+    for r in leaves:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n_events
+    assert by_type == {r.event_type: r.n_events for r in per_type}
+    assert sum(r.sum_value_micro for r in per_type) == total[0].sum_value_micro
