@@ -94,6 +94,8 @@ BENCH_QUERIES = (
     "kg_clustering",
     "kg_optional_join",
     "events_rollup",
+    "kg_edge_lift",
+    "kg_degree_hist",
 )
 
 

@@ -834,6 +834,102 @@ def _sql_clustering(cooc_sql: str) -> str:
 """
 
 
+def q_kg_edge_lift(spark, sf_dir):
+    """Association strength (lift, the exp-PMI) per co-mention edge in
+    integer basis points: ``lift_bp = (n_ab * n_docs * 10000) div
+    (n_a * n_b)`` where n_a/n_b are per-term document frequencies and
+    n_docs the corpus size — the edge-weighting step before pruning a
+    co-occurrence graph to significant pairs.  All-integer fixed point
+    (no libm log in the hash path, same discipline as lm_surprise);
+    the corpus count joins in as a 1-row broadcast cross join."""
+    from mhdb_tables2turtles_spark.queries import (
+        _mention_counts,
+        q_kg_cooccurrence,
+    )
+
+    m = _mention_counts(spark, sf_dir).select("doc_id", "term").distinct()
+    df = m.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    e = q_kg_cooccurrence(spark, sf_dir).filter(
+        F.col("n_docs") >= _PR_MIN_DOCS
+    ).withColumnRenamed("n_docs", "n_ab")
+    return (
+        e.join(F.broadcast(df.withColumnRenamed("term", "term_a")
+                           .withColumnRenamed("df", "df_a")), "term_a")
+        .join(F.broadcast(df.withColumnRenamed("term", "term_b")
+                          .withColumnRenamed("df", "df_b")), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.expr("(n_ab * n_docs * 10000) div (df_a * df_b)").alias(
+                "lift_bp"
+            ),
+        )
+    )
+
+
+def _sql_edge_lift(cooc_sql: str, mentions_sql: str) -> str:
+    return f"""
+    with m as (select distinct doc_id, term from ({mentions_sql})),
+    df as (select term, count(*) as df from m group by term),
+    n as (select count(*) as n_docs from documents),
+    e as (select term_a, term_b, n_docs as n_ab from ({cooc_sql})
+          where n_docs >= {_PR_MIN_DOCS})
+    select e.term_a, e.term_b, e.n_ab,
+           (e.n_ab * n.n_docs * 10000) // (a.df * b.df) as lift_bp
+    from e
+    join df a on e.term_a = a.term
+    join df b on e.term_b = b.term
+    cross join n
+"""
+
+
+def q_kg_degree_hist(spark, sf_dir):
+    """Log2-bucketed degree distribution of the co-mention graph: one
+    row per bucket with node count — the sanity plot every web-graph
+    build runs first.  The bucket is ``floor(log2(degree))`` computed
+    as ``length(bin(degree)) - 1`` (binary-string length), exact
+    integer logic on both engines — never libm ``log2``, whose
+    rounding at exact powers of two is not portable."""
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+
+    e = q_kg_cooccurrence(spark, sf_dir)
+    deg = (
+        e.select(F.col("term_a").alias("term"))
+        .unionAll(e.select(F.col("term_b").alias("term")))
+        .groupBy("term")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("degree"))) - 1).cast("long").alias(
+                "log2_bucket"
+            )
+        )
+        .groupBy("log2_bucket")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def _sql_degree_hist(cooc_sql: str) -> str:
+    return f"""
+    with e as ({cooc_sql}),
+    deg as (
+        select term, count(*) as degree
+        from (select term_a as term from e union all select term_b from e)
+        group by term
+    )
+    select cast(length(bin(degree)) - 1 as bigint) as log2_bucket,
+           count(*) as n_nodes
+    from deg group by 1
+"""
+
+
 _OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
 
 
@@ -953,6 +1049,8 @@ GRAPH_QUERIES = {
     "kg_clustering": q_kg_clustering,
     "kg_optional_join": q_kg_optional_join,
     "events_rollup": q_events_rollup,
+    "kg_edge_lift": q_kg_edge_lift,
+    "kg_degree_hist": q_kg_degree_hist,
 }
 
 
@@ -978,4 +1076,6 @@ def graph_oracles(
         "kg_clustering": _sql_clustering(cooc_sql),
         "kg_optional_join": _sql_optional(mentions_sql),
         "events_rollup": _SQL_EVENTS_ROLLUP,
+        "kg_edge_lift": _sql_edge_lift(cooc_sql, mentions_sql),
+        "kg_degree_hist": _sql_degree_hist(cooc_sql),
     }

@@ -634,3 +634,18 @@ def test_events_rollup_levels(spark):
         by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n_events
     assert by_type == {r.event_type: r.n_events for r in per_type}
     assert sum(r.sum_value_micro for r in per_type) == total[0].sum_value_micro
+
+
+def test_log2_bucket_expression_matches_floor_log2(spark):
+    # the degree-histogram bucket must be floor(log2(x)) exactly,
+    # including at powers of two where libm log2 rounding is unreliable
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 65).select(
+        F.col("id"),
+        (F.length(F.bin(F.col("id"))) - 1).cast("long").alias("b"),
+    )
+    got = {r.id: r.b for r in df.collect()}
+    assert got == {x: int(math.floor(math.log2(x))) for x in range(1, 65)}
