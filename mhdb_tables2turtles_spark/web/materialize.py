@@ -52,6 +52,13 @@ class StagedPipeline:
         with open(os.path.join(self._path(name), MANIFEST)) as f:
             return json.load(f)
 
+    def read(self, name: str) -> DataFrame:
+        """Committed output of ``name`` (raises if not committed)."""
+        if not self.is_committed(name):
+            raise RuntimeError(f"stage {name!r} has no committed snapshot")
+        self.log.append(f"read:{name}")
+        return self.spark.read.parquet(self._path(name)).drop(LINEAGE_COL)
+
     def stage(
         self,
         name: str,
@@ -167,15 +174,21 @@ class StagedPipeline:
         assert partition_key in out.columns, (
             f"incremental stage {name!r} output must carry {partition_key!r}"
         )
+        obs = Observation(f"inc_{name}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_key)
             .parquet(path)
         )
+        prev_rows = 0
+        if self.is_committed(name):
+            prev_rows = self.manifest(name).get("rows", 0)
         schema_json = out.schema.jsonValue()
         manifest = {
             "stage": name,
+            "rows": prev_rows + obs.get["rows"],
             "incremental": True,
             "partition_key": partition_key,
             "done_partitions": sorted(
@@ -191,9 +204,12 @@ class StagedPipeline:
         return _read_committed()
 
     def counters(self) -> dict[str, int]:
-        """Committed row counts per stage."""
+        """Committed row counts per stage (stages written by an older
+        manifest format without a rows field are skipped, not fatal)."""
         out = {}
         for name in sorted(os.listdir(self.workdir)):
             if self.is_committed(name):
-                out[name] = self.manifest(name)["rows"]
+                rows = self.manifest(name).get("rows")
+                if rows is not None:
+                    out[name] = rows
         return out

@@ -25,6 +25,7 @@ from mhdb_tables2turtles_spark.web.canonicalize import (
     canonical_mapping,
     connected_components,
     equivalence_edges,
+    merge_components,
     rewrite_triples,
 )
 from mhdb_tables2turtles_spark.web.extract import extract_text_col
@@ -38,6 +39,15 @@ from mhdb_tables2turtles_spark.web.mentions import (
 from mhdb_tables2turtles_spark.web.pages import synthesize_pages
 
 __all__ = ["KGPipeline", "build_corpus"]
+
+
+def _equiv_triples(edges: DataFrame) -> DataFrame:
+    """(src, dst) equivalence edges as owl:sameAs triple rows."""
+    return edges.select(
+        F.col("src").alias("subject"),
+        F.lit("owl:sameAs").alias("predicate"),
+        F.col("dst").alias("object"),
+    )
 
 
 def build_corpus(
@@ -129,14 +139,20 @@ class KGPipeline:
             t = page_entity_triples(linked, n_urls=n_pages)
             if include_ontology:
                 t = t.unionByName(self.ontology_triples())
+            if extra_equiv_edges is not None:
+                # merge evidence is part of the graph: persisting the
+                # extra edges as owl:sameAs rows makes the committed
+                # triple stage self-contained — equivalence_edges()
+                # recovers them on ANY later read, which is what lets
+                # update() re-derive the base component labels without
+                # the caller re-supplying this argument
+                t = t.unionByName(_equiv_triples(extra_equiv_edges))
             return t
 
         triples = staged.stage("triples", _triples, upstream=("linked",))
 
         def _canonical() -> DataFrame:
             edges = equivalence_edges(triples)
-            if extra_equiv_edges is not None:
-                edges = edges.unionByName(extra_equiv_edges).distinct()
             if edges.isEmpty():
                 # no merges: the triple stage output is already distinct
                 # per branch — skip the redundant global shuffle
@@ -200,4 +216,162 @@ class KGPipeline:
             "canonical": canonical,
             "cooccurrence": cooccurrence_edges(linked),
             "counters": self.staged.counters(),
+        }
+
+    # --------------------------------------------- incremental re-crawl
+
+    def _epochs(self) -> list[str]:
+        import json
+        import os
+
+        p = os.path.join(self.staged.workdir, "_EPOCHS.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_epoch(self, batch_id: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(self.staged.workdir, "_EPOCHS.json")
+        epochs = self._epochs()
+        if batch_id not in epochs:
+            epochs.append(batch_id)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(epochs, f)
+        os.replace(tmp, p)  # atomic, like the stage manifests
+
+    def update(
+        self,
+        new_pages: DataFrame,
+        batch_id: str,
+        extra_equiv_edges: DataFrame | None = None,
+    ):
+        """Incremental re-crawl epoch: run the stage graph over ONLY the
+        new batch, append its triples to the committed table, and
+        re-canonicalize INCREMENTALLY — cost scales with the batch, not
+        the accumulated graph.
+
+        The incremental canonicalization is EXACTLY equivalent to
+        re-running connected components over every equivalence edge
+        ingested so far (the
+        :func:`~mhdb_tables2turtles_spark.web.canonicalize.merge_components`
+        guarantee).  End-to-end triple equality with a from-scratch
+        :meth:`run` over all pages additionally requires linking to be
+        corpus-independent: TF-IDF idf statistics are computed per
+        epoch (standard re-crawl practice — already-linked pages are
+        not re-linked when corpus statistics drift), so an ambiguous
+        surface whose argmax depends on idf may link differently than
+        a full rebuild would.  With an unambiguous dictionary (the
+        scorer short-circuits) equality is exact — tested both ways in
+        test_web_pipeline.
+
+        Resume protocol: the epoch's stages commit under
+        ``<workdir>/epoch_<batch_id>/`` with the same manifest gating as
+        :meth:`run`; the epoch's triples append to the shared
+        ``triples_epochs`` table via partition-level lineage
+        (:meth:`~materialize.StagedPipeline.incremental_stage`, one
+        partition per crawl batch); the merged component labels and the
+        rewritten canonical graph commit as per-epoch stages; the epoch
+        enters ``_EPOCHS.json`` (atomic replace) LAST.  A kill anywhere
+        re-runs only uncommitted steps.
+        """
+        import os
+
+        if not self.staged.is_committed("triples"):
+            raise RuntimeError("run() the base crawl before update()")
+        staged = self.staged
+        spark = self.spark
+
+        # epoch stage graph — same shape as run(), isolated workdir
+        ep = StagedPipeline(
+            spark, os.path.join(staged.workdir, f"epoch_{batch_id}")
+        )
+        extracted = ep.stage(
+            "extract",
+            lambda: new_pages.select(
+                "url",
+                "warc_ts",
+                "lang",
+                extract_text_col(F.col("html")).alias("text"),
+            ),
+        )
+        n_new = ep.manifest("extract")["rows"]
+        mentions = ep.stage(
+            "mentions",
+            lambda: scan_mentions(extracted, self.surfaces),
+            upstream=("extract",),
+        )
+        linked = ep.stage(
+            "linked",
+            lambda: link_mentions(
+                mentions, self.vocab, extracted, self.profiles,
+                n_pages=n_new,
+            ),
+            upstream=("mentions", "extract"),
+        )
+        def _new_triples() -> DataFrame:
+            t = page_entity_triples(linked, n_urls=n_new)
+            if extra_equiv_edges is not None:
+                t = t.unionByName(_equiv_triples(extra_equiv_edges))
+            return t
+
+        new_triples = ep.stage("triples", _new_triples, upstream=("linked",))
+
+        # append to the shared epoch-partitioned triple table (lineage =
+        # done_partitions; re-running a committed batch is a no-op)
+        epochs_table = staged.incremental_stage(
+            "triples_epochs",
+            new_triples.withColumn("crawl_batch", F.lit(batch_id)),
+            "crawl_batch",
+            lambda df: df,
+        )
+
+        # previous component labels: the last committed epoch's, or the
+        # base labels (computed from the base graph's own equivalence
+        # edges on first update — a committed stage, so once ever)
+        prior = self._epochs()
+        base_triples = staged.read("triples")
+        prev_name = (
+            f"components_{prior[-1]}" if prior else "components_base"
+        )
+        if not prior:
+            staged.stage(
+                "components_base",
+                lambda: connected_components(equivalence_edges(base_triples)),
+                upstream=("triples",),
+            )
+        prev = staged.read(prev_name)
+
+        def _merged():
+            # extras were folded into new_triples as owl:sameAs rows,
+            # so the committed triple table alone carries every edge
+            return merge_components(prev, equivalence_edges(new_triples))
+
+        comps = staged.stage(
+            f"components_{batch_id}", _merged, upstream=(prev_name,)
+        )
+
+        def _canonical():
+            all_triples = base_triples.unionByName(
+                epochs_table.drop("crawl_batch")
+            )
+            return rewrite_triples(all_triples, canonical_mapping(comps))
+
+        canonical = staged.stage(
+            f"canonical_{batch_id}",
+            _canonical,
+            upstream=(f"components_{batch_id}", "triples_epochs"),
+        )
+        self._commit_epoch(batch_id)
+        return {
+            "extract": extracted,
+            "mentions": mentions,
+            "linked": linked,
+            "triples": new_triples,
+            "components": comps,
+            "canonical": canonical,
+            "counters": {**staged.counters(), **ep.counters()},
         }

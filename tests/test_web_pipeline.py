@@ -426,3 +426,85 @@ def test_pagerank_directed_no_inlink_node_keeps_base(spark):
     # sources have no inlinks -> exactly base; sink accumulates both
     assert pr["s"] == base and pr["u"] == base
     assert pr["t"] > base and set(pr) == {"s", "t", "u"}
+
+
+# --------------------------------------------------- incremental update
+
+
+def _unambiguous(pipe, spark):
+    """Restrict the pipeline's dictionary to surfaces with exactly one
+    entity: linking short-circuits the TF-IDF scorer, making triples a
+    corpus-independent function of each page — the precondition for
+    exact incremental-vs-full-rebuild equality (see update()'s
+    docstring for why ambiguous surfaces may legitimately diverge)."""
+    import pandas as pd
+
+    vf = pipe.vocab.toPandas()
+    keep = vf.groupby("surface")["entity_iri"].transform("nunique") == 1
+    vf = vf[keep]
+    pipe.vocab = spark.createDataFrame(vf)
+    pipe.surfaces = tuple(sorted(set(vf["surface"])))
+    return pipe
+
+
+def test_update_equals_full_rebuild(spark, tmp_path):
+    """run(A) + update(B) must equal run(A ∪ B) triple-for-triple,
+    including the incremental canonicalization (disjoint equivalence
+    batches E1 at base, E2 at update, vs E1 ∪ E2 from scratch)."""
+    full_corpus = build_corpus(spark, n_pages=48, seed=7, partitions=4)
+    half = F.col("url").substr(-1, 1).isin(*"01234")
+    pages_a, pages_b = full_corpus.filter(half), full_corpus.filter(~half)
+
+    pipe = _unambiguous(KGPipeline(spark, str(tmp_path / "kg_inc")), spark)
+    iris = [r.entity_iri for r in pipe.vocab.limit(3).collect()]
+    e1 = spark.createDataFrame([(iris[0], iris[1])], ["src", "dst"])
+    e2 = spark.createDataFrame([(iris[1], iris[2])], ["src", "dst"])
+
+    pipe.run(pages_a, extra_equiv_edges=e1, include_ontology=True)
+    out = pipe.update(pages_b, "crawl_b", extra_equiv_edges=e2)
+
+    fresh = _unambiguous(
+        KGPipeline(spark, str(tmp_path / "kg_full")), spark
+    ).run(
+        full_corpus,
+        extra_equiv_edges=e1.unionAll(e2),
+        include_ontology=True,
+    )
+    got = {
+        (r.subject, r.predicate, r.object) for r in out["canonical"].collect()
+    }
+    want = {
+        (r.subject, r.predicate, r.object)
+        for r in fresh["canonical"].collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_update_resumes_and_is_idempotent(spark, tmp_path):
+    wd = str(tmp_path / "kg_inc2")
+    corpus = build_corpus(spark, n_pages=30, seed=3, partitions=2)
+    a = corpus.limit(20)
+    b = corpus.subtract(a)
+
+    pipe = KGPipeline(spark, wd)
+    pipe.run(a, include_ontology=True)
+    first = pipe.update(b, "b1")
+    n1 = first["canonical"].count()
+
+    # re-applying the same batch: every stage resumes, nothing recomputes,
+    # identical output (the incremental_stage lineage marks b1 done)
+    pipe2 = KGPipeline(spark, wd)
+    again = pipe2.update(b, "b1")
+    logs = pipe2.staged.log
+    assert not any(s.startswith("compute:") for s in logs), logs
+    assert again["canonical"].count() == n1
+    assert pipe2._epochs() == ["b1"]
+
+
+def test_update_requires_base_run(spark, tmp_path):
+    import pytest as _pytest
+
+    pipe = KGPipeline(spark, str(tmp_path / "kg_inc3"))
+    pages = build_corpus(spark, n_pages=5, seed=1, partitions=1)
+    with _pytest.raises(RuntimeError, match="run\\(\\) the base crawl"):
+        pipe.update(pages, "x")
