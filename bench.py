@@ -96,6 +96,7 @@ BENCH_QUERIES = (
     "events_rollup",
     "kg_edge_lift",
     "kg_degree_hist",
+    "kg_bgp_compile",
 )
 
 

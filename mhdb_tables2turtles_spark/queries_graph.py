@@ -930,6 +930,62 @@ def _sql_degree_hist(cooc_sql: str) -> str:
 """
 
 
+def q_kg_bgp_compile(spark, sf_dir):
+    """General BGP compiler (web/kgquery.py::compile_bgp) on a
+    three-pattern, three-variable query — 'docs mentioning :Spark, each
+    of their mentioned entities, and entities co-occurring with those':
+    ``?d :mentions :Spark . ?d :mentions ?e . ?e :coOccursWith ?f``."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import (
+        q_kg_cooccurrence,
+        q_kg_triples,
+    )
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
+        F.col("n_docs") >= _CHAIN_MIN_DOCS
+    )
+
+    def mint(a, b):
+        return cooc.select(
+            udfs.iri(F.col(a), "PascalCase").alias("subject"),
+            F.lit(":coOccursWith").alias("predicate"),
+            udfs.iri(F.col(b), "PascalCase").alias("object"),
+        )
+
+    triples = (
+        q_kg_triples(spark, sf_dir)
+        .unionByName(mint("term_a", "term_b"))
+        .unionByName(mint("term_b", "term_a"))
+    )
+    return compile_bgp(
+        triples,
+        [
+            ("?d", ":mentions", ":Spark"),
+            ("?d", ":mentions", "?e"),
+            ("?e", ":coOccursWith", "?f"),
+        ],
+    )
+
+
+def _sql_bgp_compile(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    p1 as (select subject as d from t
+           where predicate = ':mentions' and object = ':Spark'),
+    p2 as (select subject as d, object as e from t
+           where predicate = ':mentions')
+    select distinct p1.d, p2.e, ee.o as f
+    from p1 join p2 on p1.d = p2.d
+    join ee on p2.e = ee.s
+"""
+
+
 _OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
 
 
@@ -1051,6 +1107,7 @@ GRAPH_QUERIES = {
     "events_rollup": q_events_rollup,
     "kg_edge_lift": q_kg_edge_lift,
     "kg_degree_hist": q_kg_degree_hist,
+    "kg_bgp_compile": q_kg_bgp_compile,
 }
 
 
@@ -1078,4 +1135,5 @@ def graph_oracles(
         "events_rollup": _SQL_EVENTS_ROLLUP,
         "kg_edge_lift": _sql_edge_lift(cooc_sql, mentions_sql),
         "kg_degree_hist": _sql_degree_hist(cooc_sql),
+        "kg_bgp_compile": _sql_bgp_compile(cooc_sql, triples_sql),
     }

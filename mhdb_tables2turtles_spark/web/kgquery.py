@@ -33,6 +33,7 @@ __all__ = [
     "bgp_star",
     "bgp_chain",
     "bgp_optional",
+    "compile_bgp",
     "triple_diff",
     "latest_state",
 ]
@@ -157,6 +158,85 @@ def bgp_optional(
         F.col(subject_col).alias("s"), F.col(object_col).alias("v")
     ).distinct()
     return subjects.join(opt, "s", "left")
+
+
+def compile_bgp(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    optional: Sequence[tuple[str, str, str]] = (),
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+    distinct: bool = True,
+) -> DataFrame:
+    """General Basic Graph Pattern compiler: each pattern is an
+    ``(s, p, o)`` term triple where terms starting with ``?`` are
+    variables and anything else matches literally; the result has one
+    column per variable (named without the ``?``, in first-appearance
+    order).  ``optional`` patterns left-join after the required block
+    (SPARQL OPTIONAL).  Subsumes :func:`bgp_star` (one variable,
+    repeated) and :func:`bgp_chain` (a linear variable chain).
+
+    Compilation: each pattern becomes the triple table filtered on its
+    literal positions and projected to its variable positions (a
+    repeated variable inside one pattern compiles to an equality
+    filter); patterns then natural-join on shared variables in the
+    order given — write selective patterns first, though AQE's runtime
+    statistics re-plan the join strategy (broadcast below threshold)
+    either way.  Literal-predicate filters reach the scan, which on a
+    predicate-partitioned triple store is partition pruning.  Patterns
+    sharing no variable with the accumulated result produce an explicit
+    crossJoin (the SPARQL cartesian case — caller's responsibility at
+    scale).
+    """
+    if not patterns:
+        raise ValueError("compile_bgp needs at least one required pattern")
+
+    def compile_one(pat: tuple[str, str, str]) -> DataFrame:
+        df = triples
+        seen: dict[str, str] = {}  # var -> first physical column
+        for term, col in zip(pat, (subject_col, predicate_col, object_col)):
+            if term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError(f"bad variable in pattern {pat!r}")
+                if var in seen:  # ?x p ?x — same-row equality
+                    df = df.filter(F.col(seen[var]) == F.col(col))
+                else:
+                    seen[var] = col
+            else:
+                df = df.filter(F.col(col) == term)
+        proj = df.select(
+            *[F.col(col).alias(var) for var, col in seen.items()]
+        )
+        return proj.distinct() if distinct else proj
+
+    order: list[str] = []
+
+    def join_in(cur, pat, how):
+        nxt = compile_one(pat)
+        for v in nxt.columns:
+            if v not in order:
+                order.append(v)
+        if cur is None:
+            return nxt
+        shared = [c for c in cur.columns if c in nxt.columns]
+        if not shared:
+            if how == "left":
+                raise ValueError(
+                    f"optional pattern {pat!r} shares no variable with "
+                    "the required block"
+                )
+            return cur.crossJoin(nxt)
+        return cur.join(nxt, shared, how)
+
+    cur = None
+    for pat in patterns:
+        cur = join_in(cur, pat, "inner")
+    for pat in optional:
+        cur = join_in(cur, pat, "left")
+    out = cur.select(*order)
+    return out.distinct() if distinct else out
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -220,6 +220,19 @@ class KGPipeline:
 
     # --------------------------------------------- incremental re-crawl
 
+    def canonical_asof(self, batch_id: str | None = None) -> DataFrame:
+        """Time travel over the committed canonical graph: the snapshot
+        as of ``batch_id`` (must be an applied epoch), or the base
+        crawl's snapshot with ``None``.  Every epoch's canonical stage
+        is retained (Iceberg-snapshot semantics on plain parquet), so
+        this is a metadata lookup + one committed-parquet read — no
+        recompute."""
+        if batch_id is None:
+            return self.staged.read("canonical")
+        if batch_id not in self._epochs():
+            raise KeyError(f"no committed epoch {batch_id!r}")
+        return self.staged.read(f"canonical_{batch_id}")
+
     def _epochs(self) -> list[str]:
         import json
         import os

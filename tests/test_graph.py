@@ -649,3 +649,98 @@ def test_log2_bucket_expression_matches_floor_log2(spark):
     )
     got = {r.id: r.b for r in df.collect()}
     assert got == {x: int(math.floor(math.log2(x))) for x in range(1, 65)}
+
+
+def test_compile_bgp_multi_variable(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d1", ":m", ":B"),
+            (":d2", ":m", ":A"),
+            (":A", ":r", ":X"),
+            (":B", ":r", ":Y"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = compile_bgp(
+        t,
+        [("?d", ":m", ":A"), ("?d", ":m", "?e"), ("?e", ":r", "?f")],
+    )
+    assert out.columns == ["d", "e", "f"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (":d1", ":A", ":X"),
+        (":d1", ":B", ":Y"),
+        (":d2", ":A", ":X"),
+    }
+
+
+def test_compile_bgp_matches_star_and_chain(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        bgp_chain,
+        compile_bgp,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (":a", ":p", ":b"),
+            (":b", ":q", ":c"),
+            (":b", ":q", ":d"),
+            (":x", ":p", ":b"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    via_chain = {
+        tuple(r) for r in bgp_chain(t, [":p", ":q"]).collect()
+    }
+    via_bgp = {
+        tuple(r)
+        for r in compile_bgp(
+            t, [("?x0", ":p", "?x1"), ("?x1", ":q", "?x2")]
+        ).collect()
+    }
+    assert via_chain == via_bgp and len(via_bgp) == 4
+
+
+def test_compile_bgp_repeated_var_and_optional(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":n1", ":self", ":n1"),  # matches ?x :self ?x
+            (":n1", ":opt", ":v1"),
+            (":n2", ":self", ":n3"),  # does not
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = compile_bgp(
+        t, [("?x", ":self", "?x")], optional=[("?x", ":opt", "?v")]
+    )
+    assert {tuple(r) for r in out.collect()} == {(":n1", ":v1")}
+    # optional absent -> null binding
+    out2 = compile_bgp(
+        t, [("?x", ":self", "?x")], optional=[("?x", ":missing", "?v")]
+    )
+    assert {tuple(r) for r in out2.collect()} == {(":n1", None)}
+
+
+def test_compile_bgp_cartesian_and_errors(spark):
+    import pytest as _pytest
+
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [(":a", ":p", ":b"), (":c", ":q", ":d")],
+        ["subject", "predicate", "object"],
+    )
+    # disjoint variables -> explicit cartesian product
+    out = compile_bgp(t, [("?x", ":p", ":b"), ("?y", ":q", ":d")])
+    assert {tuple(r) for r in out.collect()} == {(":a", ":c")}
+    with _pytest.raises(ValueError, match="at least one"):
+        compile_bgp(t, [])
+    with _pytest.raises(ValueError, match="shares no variable"):
+        compile_bgp(
+            t, [("?x", ":p", ":b")], optional=[("?y", ":q", ":d")]
+        )

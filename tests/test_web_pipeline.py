@@ -508,3 +508,25 @@ def test_update_requires_base_run(spark, tmp_path):
     pages = build_corpus(spark, n_pages=5, seed=1, partitions=1)
     with _pytest.raises(RuntimeError, match="run\\(\\) the base crawl"):
         pipe.update(pages, "x")
+
+
+def test_canonical_asof_time_travel(spark, tmp_path):
+    corpus = build_corpus(spark, n_pages=24, seed=5, partitions=2)
+    third = F.col("url").substr(-1, 1)
+    a = corpus.filter(third.isin(*"0123"))
+    b = corpus.filter(third.isin(*"456"))
+    c = corpus.filter(third.isin(*"789"))
+
+    pipe = KGPipeline(spark, str(tmp_path / "kg_tt"))
+    base = pipe.run(a)["canonical"].count()
+    n1 = pipe.update(b, "e1")["canonical"].count()
+    n2 = pipe.update(c, "e2")["canonical"].count()
+
+    assert pipe.canonical_asof().count() == base
+    assert pipe.canonical_asof("e1").count() == n1
+    assert pipe.canonical_asof("e2").count() == n2
+    assert base < n1 < n2
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        pipe.canonical_asof("nope")
