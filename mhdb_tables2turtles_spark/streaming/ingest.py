@@ -26,6 +26,7 @@ __all__ = [
     "stream_triples",
     "windowed_mention_rates",
     "start_triple_sink",
+    "stream_kg_updates",
 ]
 
 
@@ -111,6 +112,45 @@ def start_triple_sink(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_kg_updates(
+    pipe,
+    pages: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous KG construction: each micro-batch of crawled pages
+    becomes one incremental epoch of the batch pipeline —
+    ``foreachBatch`` hands the (plain, non-streaming) batch DataFrame to
+    :meth:`~mhdb_tables2turtles_spark.web.pipeline.KGPipeline.update`,
+    which appends the batch's triples with partition lineage and
+    re-canonicalizes incrementally.
+
+    Exactly-once across BOTH layers: Structured Streaming's checkpoint
+    makes each micro-batch id delivered at-least-once with a stable id,
+    and ``update()`` is idempotent per batch id (committed epochs
+    resume, the partition-lineage append skips done batches) — so a
+    replayed micro-batch is a no-op rather than a duplicate.  The
+    ``epoch-<id>`` naming keys the pipeline's epoch registry to the
+    stream's own batch ids.
+
+    ``pipe.run(...)`` must have committed a base crawl first (the same
+    precondition as ``update``).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe.update(batch_df, f"stream-{batch_id}")
+
+    writer = (
+        pages.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
