@@ -88,6 +88,14 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         help="count canonical triples (extra job; skipped by default)",
     )
     p.add_argument(
+        "--update-batch",
+        metavar="BATCH_ID",
+        default=None,
+        help="apply --input as an incremental re-crawl epoch with this "
+        "id (KGPipeline.update) instead of a base run; requires a "
+        "committed base crawl in --workdir",
+    )
+    p.add_argument(
         "--master",
         default=None,
         help="Spark master override; omit under spark-submit so the "
@@ -145,19 +153,27 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     pipe = KGPipeline(spark, args.workdir, ttl_path=args.vocab_ttl)
-    out = pipe.run(
-        pages,
-        include_ontology=args.include_ontology,
-        write_turtle=args.ttl,
-    )
+    if args.update_batch:
+        out = pipe.update(pages, args.update_batch)
+        stage_names = ("triples_epochs", f"canonical_{args.update_batch}")
+    else:
+        out = pipe.run(
+            pages,
+            include_ontology=args.include_ontology,
+            write_turtle=args.ttl,
+        )
+        stage_names = (
+            "extract", "mentions", "linked", "triples", "canonical",
+        )
     summary = {
         "workdir": args.workdir,
+        "epochs": pipe._epochs(),
         "stages": {
             s: {
                 k: pipe.staged.manifest(s).get(k)
                 for k in ("rows", "elapsed_sec", "n_partitions")
             }
-            for s in ("extract", "mentions", "linked", "triples", "canonical")
+            for s in stage_names
             if pipe.staged.is_committed(s)
         },
         "counters": out["counters"],

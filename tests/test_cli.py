@@ -91,3 +91,25 @@ def test_cli_workbooks_run_all(spark, tmp_path, capsys):
     ours = set(parse_turtle_body((out / "chills.ttl").read_text()))
     golden = load_golden_triples()
     assert len(ours & golden) / len(golden) >= 0.99
+
+
+def test_cli_update_batch_epoch(spark, tmp_path, capsys):
+    from mhdb_tables2turtles_spark.web.pipeline import build_corpus
+
+    wd = str(tmp_path / "kgu")
+    # base crawl via the CLI
+    rc, base = _run(capsys, ["--synthesize", "20", "--workdir", wd])
+    assert rc == 0 and base["epochs"] == []
+
+    # a re-crawl batch lands as parquet, applied via --update-batch
+    drop = str(tmp_path / "drop")
+    build_corpus(spark, 30, seed=2).limit(8).write.parquet(drop)
+    rc, upd = _run(
+        capsys,
+        ["--input", drop, "--workdir", wd, "--update-batch", "b1", "--count"],
+    )
+    assert rc == 0
+    assert upd["epochs"] == ["b1"]
+    assert "canonical_b1" in upd["stages"]
+    assert upd["stages"]["triples_epochs"]["rows"] > 0
+    assert upd["canonical_triples"] > 0
