@@ -97,6 +97,8 @@ BENCH_QUERIES = (
     "kg_edge_lift",
     "kg_degree_hist",
     "kg_bgp_compile",
+    "kg_construct_rule",
+    "kg_property_table",
 )
 
 

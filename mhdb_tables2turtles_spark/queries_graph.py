@@ -681,8 +681,12 @@ def q_kg_components_incremental(spark, sf_dir):
         merge_components,
     )
 
-    e = q_kg_cooccurrence(spark, sf_dir).filter(
-        F.col("n_docs") >= _PR_MIN_DOCS
+    # checkpoint the edge list once: the even/odd splits and both CC
+    # loops otherwise each re-run the document mention scan upstream
+    e = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(F.col("n_docs") >= _PR_MIN_DOCS)
+        .localCheckpoint(eager=False)
     )
 
     def sel(df):
@@ -986,6 +990,117 @@ def _sql_bgp_compile(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_construct_rule(spark, sf_dir):
+    """SPARQL CONSTRUCT (web/kgquery.py::construct): derive a
+    ':relatedTo' graph — ``CONSTRUCT { ?d :relatedTo ?f . ?d a
+    :ExpandedDoc } WHERE { ?d :mentions ?e . ?e :coOccursWith ?f }`` —
+    the inference-rule / graph-reshaping primitive over the same
+    triple construction as kg_bgp_compile."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import (
+        q_kg_cooccurrence,
+        q_kg_triples,
+    )
+    from mhdb_tables2turtles_spark.web.kgquery import construct
+
+    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
+        F.col("n_docs") >= _CHAIN_MIN_DOCS
+    )
+
+    def mint(a, b):
+        return cooc.select(
+            udfs.iri(F.col(a), "PascalCase").alias("subject"),
+            F.lit(":coOccursWith").alias("predicate"),
+            udfs.iri(F.col(b), "PascalCase").alias("object"),
+        )
+
+    triples = (
+        q_kg_triples(spark, sf_dir)
+        .unionByName(mint("term_a", "term_b"))
+        .unionByName(mint("term_b", "term_a"))
+    )
+    return construct(
+        triples,
+        where=[("?d", ":mentions", "?e"), ("?e", ":coOccursWith", "?f")],
+        template=[
+            ("?d", ":relatedTo", "?f"),
+            ("?d", "a", ":ExpandedDoc"),
+        ],
+    )
+
+
+def _sql_construct(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    b as (select distinct t.subject as d, ee.o as f
+          from t join ee on t.object = ee.s
+          where t.predicate = ':mentions')
+    select distinct subject, predicate, object from (
+        select d as subject, ':relatedTo' as predicate, f as object from b
+        union all
+        select d, 'a', ':ExpandedDoc' from b
+    )
+"""
+
+
+_PT_PREDICATES = [":mentions", ":mentionsOften"]
+
+
+def q_kg_property_table(spark, sf_dir):
+    """Property-table pivot (web/kgquery.py::property_table): one row
+    per doc with its minimum :mentions object and minimum
+    :mentionsOften object (null when the doc has none) — the KG
+    serving-layer layout, as ONE conditional aggregation instead of a
+    self-join per predicate."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import _mention_counts
+    from mhdb_tables2turtles_spark.web.kgquery import property_table
+
+    m = _mention_counts(spark, sf_dir)
+
+    def mint(side, pred):
+        return side.select(
+            udfs.iri(
+                F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+                "delimited",
+            ).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            udfs.iri(F.col("term"), "PascalCase").alias("object"),
+        )
+
+    triples = mint(m, ":mentions").unionByName(
+        mint(m.filter(F.col("n") >= _OFTEN_MIN_N), ":mentionsOften")
+    )
+    return property_table(triples, _PT_PREDICATES)
+
+
+def _sql_property_table(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    t as (
+        select ':doc_'||doc_id as subject, ':mentions' as predicate,
+               ':'||upper(term[1])||term[2:] as object from m
+        union all
+        select ':doc_'||doc_id, ':mentionsOften',
+               ':'||upper(term[1])||term[2:] from m
+        where n >= {_OFTEN_MIN_N}
+    )
+    select subject,
+           min(case when predicate = ':mentions' then object end)
+               as mentions,
+           min(case when predicate = ':mentionsOften' then object end)
+               as "mentionsOften"
+    from t
+    where predicate in (':mentions', ':mentionsOften')
+    group by subject
+"""
+
+
 _OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
 
 
@@ -1108,6 +1223,8 @@ GRAPH_QUERIES = {
     "kg_edge_lift": q_kg_edge_lift,
     "kg_degree_hist": q_kg_degree_hist,
     "kg_bgp_compile": q_kg_bgp_compile,
+    "kg_construct_rule": q_kg_construct_rule,
+    "kg_property_table": q_kg_property_table,
 }
 
 
@@ -1136,4 +1253,6 @@ def graph_oracles(
         "kg_edge_lift": _sql_edge_lift(cooc_sql, mentions_sql),
         "kg_degree_hist": _sql_degree_hist(cooc_sql),
         "kg_bgp_compile": _sql_bgp_compile(cooc_sql, triples_sql),
+        "kg_construct_rule": _sql_construct(cooc_sql, triples_sql),
+        "kg_property_table": _sql_property_table(mentions_sql),
     }

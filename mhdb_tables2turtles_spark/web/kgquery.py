@@ -34,6 +34,8 @@ __all__ = [
     "bgp_chain",
     "bgp_optional",
     "compile_bgp",
+    "construct",
+    "property_table",
     "triple_diff",
     "latest_state",
 ]
@@ -237,6 +239,79 @@ def compile_bgp(
         cur = join_in(cur, pat, "left")
     out = cur.select(*order)
     return out.distinct() if distinct else out
+
+
+def construct(
+    triples: DataFrame,
+    where: Sequence[tuple[str, str, str]],
+    template: Sequence[tuple[str, str, str]],
+    optional: Sequence[tuple[str, str, str]] = (),
+) -> DataFrame:
+    """SPARQL CONSTRUCT: solve the ``where`` BGP
+    (:func:`compile_bgp`), then mint one triple per ``template``
+    pattern per binding — variables substitute from the binding,
+    non-variable terms pass through as constants.  Template rows whose
+    variables are unbound (possible via ``optional``) are dropped, per
+    the SPARQL spec.  Output is the deduplicated
+    ``(subject, predicate, object)`` set — ready for
+    :func:`triple_diff` / the materialize stages.
+
+    This is the derived-graph primitive (inference rules, graph
+    reshaping, view maintenance): the WHERE solve is one compiled join
+    plan, and the template fan-out is a row-local projection + union —
+    no additional shuffles beyond a final distinct."""
+    bindings = compile_bgp(triples, where, optional=optional)
+
+    def term(t: str):
+        return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+    parts = []
+    for s, p, o in template:
+        row = bindings.select(
+            term(s).alias("subject"),
+            term(p).alias("predicate"),
+            term(o).alias("object"),
+        )
+        parts.append(
+            row.filter(
+                F.col("subject").isNotNull()
+                & F.col("predicate").isNotNull()
+                & F.col("object").isNotNull()
+            )
+        )
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionAll(more)
+    return out.distinct()
+
+
+def property_table(
+    triples: DataFrame,
+    predicates: Sequence[str],
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+) -> DataFrame:
+    """Triple table → wide entity table: one row per subject, one
+    column per requested predicate holding the MINIMUM object value
+    (deterministic pick for multi-valued predicates) or null — the
+    standard KG serving-layer layout (a "property table" in RDF-store
+    terms).
+
+    Plan shape: pre-filter to the requested predicates (partition
+    pruning on a predicate-partitioned store), then ONE conditional
+    aggregation keyed by subject — never one self-join per predicate.
+    Column names strip a leading ``:`` so they stay SQL-friendly."""
+    if not predicates:
+        raise ValueError("property_table needs at least one predicate")
+    base = triples.filter(F.col(predicate_col).isin(*predicates))
+    aggs = [
+        F.min(
+            F.when(F.col(predicate_col) == p, F.col(object_col))
+        ).alias(p.lstrip(":"))
+        for p in predicates
+    ]
+    return base.groupBy(F.col(subject_col).alias("subject")).agg(*aggs)
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:

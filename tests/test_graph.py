@@ -744,3 +744,64 @@ def test_compile_bgp_cartesian_and_errors(spark):
         compile_bgp(
             t, [("?x", ":p", ":b")], optional=[("?y", ":q", ":d")]
         )
+
+
+def test_construct_template_minting(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import construct
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":A", ":r", ":X"),
+            (":d2", ":m", ":B"),  # :B has no :r edge -> no binding
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = construct(
+        t,
+        where=[("?d", ":m", "?e"), ("?e", ":r", "?f")],
+        template=[("?d", ":rel", "?f"), ("?d", "a", ":Hit")],
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(":d1", ":rel", ":X"), (":d1", "a", ":Hit")}
+
+
+def test_construct_drops_unbound_optional_rows(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import construct
+
+    t = spark.createDataFrame(
+        [(":d1", ":m", ":A"), (":d2", ":m", ":A"), (":d1", ":opt", ":V")],
+        ["subject", "predicate", "object"],
+    )
+    out = construct(
+        t,
+        where=[("?d", ":m", ":A")],
+        optional=[("?d", ":opt", "?v")],
+        template=[("?d", ":copied", "?v"), ("?d", "a", ":Seen")],
+    )
+    got = {tuple(r) for r in out.collect()}
+    # d2's unbound ?v row vanishes; its constant-template row survives
+    assert got == {
+        (":d1", ":copied", ":V"),
+        (":d1", "a", ":Seen"),
+        (":d2", "a", ":Seen"),
+    }
+
+
+def test_property_table_pivot(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import property_table
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":B"),
+            (":d1", ":m", ":A"),  # multi-valued -> min picked
+            (":d1", ":often", ":Z"),
+            (":d2", ":m", ":C"),  # no :often -> null column
+            (":d3", ":other", ":Q"),  # no requested predicate -> no row
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = property_table(t, [":m", ":often"])
+    assert out.columns == ["subject", "m", "often"]
+    got = {r.subject: (r.m, r.often) for r in out.collect()}
+    assert got == {":d1": (":A", ":Z"), ":d2": (":C", None)}
