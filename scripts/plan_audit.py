@@ -58,6 +58,9 @@ AUDIT = (
     "kg_clustering",
     "kg_edge_lift",
     "kg_degree_hist",
+    "kg_bgp_compile",
+    "kg_construct_rule",
+    "kg_property_table",
 )
 
 CHECKS = {
@@ -110,6 +113,12 @@ CHECKS = {
     # df sides + corpus count broadcast; no shuffle joins on edge keys
     "kg_edge_lift": ["BroadcastHashJoin", "!SortMergeJoin"],
     "kg_degree_hist": ["HashAggregate"],
+    # a 3-pattern BGP with shared variables never degenerates to a
+    # cartesian plan
+    "kg_bgp_compile": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "kg_construct_rule": ["!CartesianProduct", "Union"],
+    # ONE aggregation, never a per-predicate self-join chain
+    "kg_property_table": ["HashAggregate", "!SortMergeJoin"],
 }
 
 
