@@ -723,6 +723,52 @@ _SQL_TERM_IRI_A = "':'||upper(term_a[1])||term_a[2:]"
 _SQL_TERM_IRI_B = "':'||upper(term_b[1])||term_b[2:]"
 
 
+def _mention_plus_cooc_triples(spark, sf_dir, min_docs=_CHAIN_MIN_DOCS):
+    """Triple table for the BGP-family queries: doc :mentions entity
+    rows plus symmetric entity :coOccursWith entity rows from strong
+    co-occurrence — built from ONE checkpointed mention scan (the
+    naive composition of q_kg_triples + q_kg_cooccurrence runs the
+    Aho-Corasick document pass twice)."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import _mention_counts
+
+    m = (
+        _mention_counts(spark, sf_dir)
+        .select("doc_id", "term")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mention = m.select(
+        udfs.iri(
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+            "delimited",
+        ).alias("subject"),
+        F.lit(":mentions").alias("predicate"),
+        udfs.iri(F.col("term"), "PascalCase").alias("object"),
+    ).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    cooc = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+    def mint(x, y):
+        return cooc.select(
+            udfs.iri(F.col(x), "PascalCase").alias("subject"),
+            F.lit(":coOccursWith").alias("predicate"),
+            udfs.iri(F.col(y), "PascalCase").alias("object"),
+        )
+
+    return mention.unionByName(mint("term_a", "term_b")).unionByName(
+        mint("term_b", "term_a")
+    )
+
+
 def q_kg_chain_join(spark, sf_dir):
     """Property-path chain BGP (web/kgquery.py::bgp_chain):
     ``?doc :mentions ?e . ?e :coOccursWith ?e2`` — expand each page's
@@ -730,29 +776,9 @@ def q_kg_chain_join(spark, sf_dir):
     entities' query a KG consumer runs).  The entity→entity triples
     are minted from strong co-occurrence edges with the same IRI
     kernel as the mention triples."""
-    from mhdb_tables2turtles_spark.functions import udfs
-    from mhdb_tables2turtles_spark.queries import (
-        q_kg_cooccurrence,
-        q_kg_triples,
-    )
     from mhdb_tables2turtles_spark.web.kgquery import bgp_chain
 
-    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
-        F.col("n_docs") >= _CHAIN_MIN_DOCS
-    )
-
-    def mint(a, b):
-        return cooc.select(
-            udfs.iri(F.col(a), "PascalCase").alias("subject"),
-            F.lit(":coOccursWith").alias("predicate"),
-            udfs.iri(F.col(b), "PascalCase").alias("object"),
-        )
-
-    triples = (
-        q_kg_triples(spark, sf_dir)
-        .unionByName(mint("term_a", "term_b"))
-        .unionByName(mint("term_b", "term_a"))
-    )
+    triples = _mention_plus_cooc_triples(spark, sf_dir)
     return bgp_chain(triples, [":mentions", ":coOccursWith"]).select(
         F.col("x0").alias("doc"),
         F.col("x1").alias("entity"),
@@ -939,29 +965,9 @@ def q_kg_bgp_compile(spark, sf_dir):
     three-pattern, three-variable query — 'docs mentioning :Spark, each
     of their mentioned entities, and entities co-occurring with those':
     ``?d :mentions :Spark . ?d :mentions ?e . ?e :coOccursWith ?f``."""
-    from mhdb_tables2turtles_spark.functions import udfs
-    from mhdb_tables2turtles_spark.queries import (
-        q_kg_cooccurrence,
-        q_kg_triples,
-    )
     from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
 
-    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
-        F.col("n_docs") >= _CHAIN_MIN_DOCS
-    )
-
-    def mint(a, b):
-        return cooc.select(
-            udfs.iri(F.col(a), "PascalCase").alias("subject"),
-            F.lit(":coOccursWith").alias("predicate"),
-            udfs.iri(F.col(b), "PascalCase").alias("object"),
-        )
-
-    triples = (
-        q_kg_triples(spark, sf_dir)
-        .unionByName(mint("term_a", "term_b"))
-        .unionByName(mint("term_b", "term_a"))
-    )
+    triples = _mention_plus_cooc_triples(spark, sf_dir)
     return compile_bgp(
         triples,
         [
@@ -996,29 +1002,9 @@ def q_kg_construct_rule(spark, sf_dir):
     :ExpandedDoc } WHERE { ?d :mentions ?e . ?e :coOccursWith ?f }`` —
     the inference-rule / graph-reshaping primitive over the same
     triple construction as kg_bgp_compile."""
-    from mhdb_tables2turtles_spark.functions import udfs
-    from mhdb_tables2turtles_spark.queries import (
-        q_kg_cooccurrence,
-        q_kg_triples,
-    )
     from mhdb_tables2turtles_spark.web.kgquery import construct
 
-    cooc = q_kg_cooccurrence(spark, sf_dir).filter(
-        F.col("n_docs") >= _CHAIN_MIN_DOCS
-    )
-
-    def mint(a, b):
-        return cooc.select(
-            udfs.iri(F.col(a), "PascalCase").alias("subject"),
-            F.lit(":coOccursWith").alias("predicate"),
-            udfs.iri(F.col(b), "PascalCase").alias("object"),
-        )
-
-    triples = (
-        q_kg_triples(spark, sf_dir)
-        .unionByName(mint("term_a", "term_b"))
-        .unionByName(mint("term_b", "term_a"))
-    )
+    triples = _mention_plus_cooc_triples(spark, sf_dir)
     return construct(
         triples,
         where=[("?d", ":mentions", "?e"), ("?e", ":coOccursWith", "?f")],
