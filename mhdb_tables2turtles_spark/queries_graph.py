@@ -1047,7 +1047,7 @@ def q_kg_property_table(spark, sf_dir):
     from mhdb_tables2turtles_spark.queries import _mention_counts
     from mhdb_tables2turtles_spark.web.kgquery import property_table
 
-    m = _mention_counts(spark, sf_dir)
+    m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
 
     def mint(side, pred):
         return side.select(
@@ -1100,7 +1100,8 @@ def q_kg_optional_join(spark, sf_dir):
     from mhdb_tables2turtles_spark.queries import _mention_counts
     from mhdb_tables2turtles_spark.web.kgquery import bgp_optional
 
-    m = _mention_counts(spark, sf_dir)
+    # checkpoint: both minted predicate families read the same scan
+    m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
 
     def mint(side, pred):
         return side.select(
