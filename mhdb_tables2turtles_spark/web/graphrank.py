@@ -338,7 +338,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int | None = 4
+) -> DataFrame:
     """(node, core_degree): members of the k-core — the maximal subgraph
     in which every node has degree >= ``k`` — of the undirected graph
     given as distinct ``(src, dst)`` pairs, with each member's degree
@@ -349,9 +351,11 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     :func:`pagerank_fixed`) so the DuckDB oracle can unroll the same
     peel as chained CTEs; callers must pick it >= the peel cascade
     depth of their graph (tests assert one extra round is a no-op on
-    the fixture).  At web scale run the same loop to a fixpoint with a
-    per-round early exit when the kept-node count stops falling — the
-    per-round cost already shrinks with the surviving subgraph.
+    the fixture).  ``rounds=None`` is the web-scale fixpoint mode: peel
+    until the surviving edge count stops falling (the count is read
+    from the round's own checkpoint materialization, not an extra
+    scan-from-source job), which is exact for any cascade depth — the
+    per-round cost shrinks with the surviving subgraph.
 
     Scale shape per round: one degree aggregation (map-side partials)
     + two semi-joins filtering the edge list on its endpoints.  The
@@ -366,7 +370,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     cur = both.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    fixpoint = rounds is None
+    prev_edges = cur.count() if fixpoint else None
+    i = 0
+    while True:
+        if not fixpoint and i >= rounds:
+            break
+        i += 1
         keep = (
             cur.groupBy("u")
             .agg(F.count("*").alias("deg"))
@@ -379,6 +389,11 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        if fixpoint:
+            n = cur.count()  # scans the fresh checkpoint, not the source
+            if n == prev_edges:
+                break
+            prev_edges = n
     return cur.groupBy("u").agg(F.count("*").alias("core_degree")).select(
         F.col("u").alias("node"), "core_degree"
     )

@@ -805,3 +805,19 @@ def test_property_table_pivot(spark):
     assert out.columns == ["subject", "m", "often"]
     got = {r.subject: (r.m, r.often) for r in out.collect()}
     assert got == {":d1": (":A", ":Z"), ":d2": (":C", None)}
+
+
+def test_kcore_fixpoint_mode_matches_fixed_rounds(spark):
+    # rounds=None peels to convergence regardless of cascade depth: a
+    # 7-node chain hanging off a 4-clique needs 6 peel rounds for its
+    # 3-core; fixpoint mode finds it without the caller counting
+    from mhdb_tables2turtles_spark.web.graphrank import kcore
+
+    clique = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in clique for y in clique if x < y]
+    chain = ["d", "e", "f", "g", "h", "i", "j"]
+    edges += list(zip(chain, chain[1:]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fix = {r.node: r.core_degree for r in kcore(df, k=3, rounds=None).collect()}
+    many = {r.node: r.core_degree for r in kcore(df, k=3, rounds=10).collect()}
+    assert fix == many == {"a": 3, "b": 3, "c": 3, "d": 3}

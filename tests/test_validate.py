@@ -243,3 +243,85 @@ def test_web_pipeline_raises_on_undeclarable_prefix(spark, tmp_path):
         resolve_used_prefixes(t, {"fabio": "http://x/"}, on_unknown="raise")
     # skip mode (used where a later validation pass exists) drops it
     assert resolve_used_prefixes(t, {"fabio": "http://x/"}) == []
+
+
+# ------------------------------------------------------------ N-Triples
+
+
+def test_to_nt_term_shapes():
+    from mhdb_tables2turtles_spark.operators.serialize import to_nt_term
+
+    pmap = {
+        "": "http://ex.org/base#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "xsd": "https://www.w3.org/2009/XMLSchema/XMLSchema#",
+    }
+    assert to_nt_term(":Paper", pmap, "subject") == "<http://ex.org/base#Paper>"
+    assert (
+        to_nt_term("rdfs:label", pmap, "predicate")
+        == "<http://www.w3.org/2000/01/rdf-schema#label>"
+    )
+    assert to_nt_term("a", pmap, "predicate") == (
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    )
+    assert to_nt_term("<http://x/y>", pmap, "object") == "<http://x/y>"
+    # long literal with newline -> single-line escaped form
+    assert (
+        to_nt_term('"""li\nne"""@en', pmap, "object") == '"li\\nne"@en'
+    )
+    # short literal with stored Turtle escapes + datatype expansion
+    assert to_nt_term('"0.1"^^xsd:float', pmap, "object") == (
+        '"0.1"^^<https://www.w3.org/2009/XMLSchema/XMLSchema#float>'
+    )
+    assert (
+        to_nt_term('"say \\"hi\\""@en', pmap, "object") == '"say \\"hi\\""@en'
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown prefix"):
+        to_nt_term("nope:x", pmap, "subject")
+    with _pytest.raises(ValueError, match="unserializable"):
+        to_nt_term("bare-token", pmap, "subject")
+
+
+def test_write_ntriples_golden_graph(spark, tmp_path):
+    """The reference's own emitted graph serializes to valid N-Triples:
+    every line matches the grammar, line count == triple count, and the
+    expansions of known triples appear verbatim."""
+    import glob
+    import re
+
+    from mhdb_tables2turtles_spark.operators.serialize import write_ntriples
+    from mhdb_tables2turtles_spark.sources.golden import (
+        header_prefixes,
+        load_golden_triples,
+    )
+
+    gold = sorted(load_golden_triples("/root/reference/output/chills.ttl"))
+    df = spark.createDataFrame(gold, ["subject", "predicate", "object"])
+    out = str(tmp_path / "nt")
+    write_ntriples(
+        df,
+        out,
+        base_uri="http://www.purl.org/mentalhealth/chills",
+        prefixes=header_prefixes("/root/reference/output/chills.ttl"),
+        shards=3,
+    )
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [l.rstrip("\n") for l in f if l.strip()]
+    assert len(lines) == len(gold)
+    nt = re.compile(
+        r'^(<[^>]+>) (<[^>]+>) (<[^>]+>|"(?:[^"\\]|\\.)*"'
+        r"(?:@[A-Za-z-]+|\^\^<[^>]+>)?) \.$"
+    )
+    assert all(nt.match(l) for l in lines), [
+        l for l in lines if not nt.match(l)
+    ][:3]
+    base = "http://www.purl.org/mentalhealth/chills#"
+    assert (
+        f"<{base}Paper> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Class> ."
+    ) in lines
