@@ -1035,17 +1035,17 @@ def _sql_construct(cooc_sql: str, triples_sql: str) -> str:
 
 
 _PT_PREDICATES = [":mentions", ":mentionsOften"]
+_OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
 
 
-def q_kg_property_table(spark, sf_dir):
-    """Property-table pivot (web/kgquery.py::property_table): one row
-    per doc with its minimum :mentions object and minimum
-    :mentionsOften object (null when the doc has none) — the KG
-    serving-layer layout, as ONE conditional aggregation instead of a
-    self-join per predicate."""
+def _often_triples(spark, sf_dir):
+    """Two-predicate triple fixture shared by the property-table,
+    OPTIONAL, UNION and MINUS queries: every mention as ``:mentions``
+    plus frequent (n >= 3) mentions as ``:mentionsOften``, minted with
+    the same IRI kernel as kg_triples — built from ONE checkpointed
+    mention scan."""
     from mhdb_tables2turtles_spark.functions import udfs
     from mhdb_tables2turtles_spark.queries import _mention_counts
-    from mhdb_tables2turtles_spark.web.kgquery import property_table
 
     m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
 
@@ -1059,10 +1059,20 @@ def q_kg_property_table(spark, sf_dir):
             udfs.iri(F.col("term"), "PascalCase").alias("object"),
         )
 
-    triples = mint(m, ":mentions").unionByName(
+    return mint(m, ":mentions").unionByName(
         mint(m.filter(F.col("n") >= _OFTEN_MIN_N), ":mentionsOften")
     )
-    return property_table(triples, _PT_PREDICATES)
+
+
+def q_kg_property_table(spark, sf_dir):
+    """Property-table pivot (web/kgquery.py::property_table): one row
+    per doc with its minimum :mentions object and minimum
+    :mentionsOften object (null when the doc has none) — the KG
+    serving-layer layout, as ONE conditional aggregation instead of a
+    self-join per predicate."""
+    from mhdb_tables2turtles_spark.web.kgquery import property_table
+
+    return property_table(_often_triples(spark, sf_dir), _PT_PREDICATES)
 
 
 def _sql_property_table(mentions_sql: str) -> str:
@@ -1087,37 +1097,17 @@ def _sql_property_table(mentions_sql: str) -> str:
 """
 
 
-_OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
-
-
 def q_kg_optional_join(spark, sf_dir):
     """SPARQL OPTIONAL (web/kgquery.py::bgp_optional): docs mentioning
     :Spark, each with its :mentionsOften bindings (terms mentioned >= 3
     times in that doc) or a single null row when it has none — the
     left-join BGP shape, minted with the same IRI kernel as
     kg_triples."""
-    from mhdb_tables2turtles_spark.functions import udfs
-    from mhdb_tables2turtles_spark.queries import _mention_counts
     from mhdb_tables2turtles_spark.web.kgquery import bgp_optional
 
-    # checkpoint: both minted predicate families read the same scan
-    m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
-
-    def mint(side, pred):
-        return side.select(
-            udfs.iri(
-                F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
-                "delimited",
-            ).alias("subject"),
-            F.lit(pred).alias("predicate"),
-            udfs.iri(F.col("term"), "PascalCase").alias("object"),
-        )
-
-    triples = mint(m, ":mentions").unionByName(
-        mint(m.filter(F.col("n") >= _OFTEN_MIN_N), ":mentionsOften")
-    )
     return bgp_optional(
-        triples, (":mentions", ":Spark"), ":mentionsOften"
+        _often_triples(spark, sf_dir), (":mentions", ":Spark"),
+        ":mentionsOften",
     ).select(F.col("s").alias("doc"), F.col("v").alias("often"))
 
 
@@ -1188,6 +1178,248 @@ _SQL_EVENTS_ROLLUP = f"""
 """
 
 
+# ---------------------------------- round-4b: SPARQL algebra + inference
+
+# oracle-side mint of one doc/term IRI pair (the _often_triples twin)
+_SQL_DOC_IRI = "':doc_'||doc_id"
+_SQL_TERM_IRI = "':'||upper(term[1])||term[2:]"
+
+
+def q_kg_union_join(spark, sf_dir):
+    """SPARQL UNION (web/kgquery.py::bgp_union): ``{ ?d :mentions :Join
+    . ?d :mentions ?e } UNION { ?d :mentionsOften ?e }`` — entities of
+    :Join-mentioning docs, unioned with every doc's frequent entities.
+    Each branch compiles to its own join tree; the union is a
+    zero-shuffle concatenation and only the final set-semantics
+    distinct shuffles."""
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_union
+
+    return bgp_union(
+        _often_triples(spark, sf_dir),
+        [
+            [("?d", ":mentions", ":Join"), ("?d", ":mentions", "?e")],
+            [("?d", ":mentionsOften", "?e")],
+        ],
+    ).select(F.col("d").alias("doc"), F.col("e").alias("entity"))
+
+
+def _sql_union(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    p as (select distinct {_SQL_DOC_IRI} as d, {_SQL_TERM_IRI} as e from m),
+    jd as (select distinct {_SQL_DOC_IRI} as d from m where term = 'join'),
+    b1 as (select p.d, p.e from jd join p using (d)),
+    b2 as (select distinct {_SQL_DOC_IRI} as d, {_SQL_TERM_IRI} as e
+           from m where n >= {_OFTEN_MIN_N})
+    select distinct d as doc, e as entity
+    from (select * from b1 union all select * from b2)
+"""
+
+
+def q_kg_minus_filter(spark, sf_dir):
+    """SPARQL MINUS + FILTER (web/kgquery.py::compile_bgp): entities of
+    docs mentioning :Spark, MINUS docs that also mention :Hash, with
+    FILTER(?e != :Spark) — the negation shape compiles to a left-anti
+    join on the shared variable (only ?d shuffles, never full binding
+    rows) and the filter folds into the pattern scan."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    return compile_bgp(
+        _often_triples(spark, sf_dir),
+        [("?d", ":mentions", ":Spark"), ("?d", ":mentions", "?e")],
+        minus=[("?d", ":mentions", ":Hash")],
+        filters=["e != ':Spark'"],
+    ).select(F.col("d").alias("doc"), F.col("e").alias("entity"))
+
+
+def _sql_minus(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    p as (select distinct {_SQL_DOC_IRI} as d, {_SQL_TERM_IRI} as e from m),
+    sp as (select distinct {_SQL_DOC_IRI} as d from m where term = 'spark'),
+    hs as (select distinct {_SQL_DOC_IRI} as d from m where term = 'hash')
+    select distinct sp.d as doc, p.e as entity
+    from sp
+    join p using (d)
+    anti join hs using (d)
+    where p.e != ':Spark'
+"""
+
+
+def _subclass_triples(spark, sf_dir):
+    """Deterministic class hierarchy for the inference queries: strong
+    co-occurrence edges (n_docs >= 3) minted as ``rdfs:subClassOf``
+    from the lexically smaller term to the larger — term order makes
+    the hierarchy a DAG, so the closure's fixpoint depth is bounded by
+    the vocabulary, exactly the ontology-sized shape
+    :mod:`~mhdb_tables2turtles_spark.web.inference` is designed for.
+
+    The synthetic co-mention graph is COMPLETE on the vocabulary (every
+    pair, so its lexical DAG is already transitively closed and the
+    closure would be a no-op); the fixture hash-drops ~2/3 of the edges
+    (the same self-contained device as kg_link_predict) so the closure
+    genuinely derives new multi-hop pairs."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
+
+    c = q_kg_cooccurrence(spark, sf_dir).filter(
+        (F.col("n_docs") >= _CHAIN_MIN_DOCS)
+        & (
+            hash60(F.concat_ws(" ", F.col("term_a"), F.col("term_b"))) % 3
+            == 0
+        )
+    )
+    return c.select(
+        udfs.iri(F.col("term_a"), "PascalCase").alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        udfs.iri(F.col("term_b"), "PascalCase").alias("object"),
+    )
+
+
+_SQL_SUBCLASS_CTE = """
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {min_docs}
+            and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                % 3 = 0),
+    sub as (select {iri_a} as s, {iri_b} as o from c),
+    tc(s, o) as (
+        select s, o from sub
+        union
+        select tc.s, sub.o from tc join sub on tc.o = sub.s
+    )
+"""
+
+
+def _sql_subclass(cooc_sql: str) -> str:
+    return _SQL_SUBCLASS_CTE.format(
+        cooc_sql=cooc_sql,
+        min_docs=_CHAIN_MIN_DOCS,
+        iri_a=_SQL_TERM_IRI_A,
+        iri_b=_SQL_TERM_IRI_B,
+    )
+
+
+def q_kg_path_closure(spark, sf_dir):
+    """Transitive-closure property path (web/inference.py::
+    transitive_closure): every ``?c rdfs:subClassOf+ ?a`` pair of the
+    minted class hierarchy — semi-naive Datalog iteration (each round
+    extends only the previous round's delta), run to the fixpoint."""
+    from mhdb_tables2turtles_spark.web.inference import transitive_closure
+
+    sub = _subclass_triples(spark, sf_dir).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    return transitive_closure(sub).select(
+        F.col("src").alias("cls"), F.col("dst").alias("ancestor")
+    )
+
+
+def _sql_path_closure(cooc_sql: str) -> str:
+    return (
+        "with recursive "
+        + _sql_subclass(cooc_sql).strip()
+        + "\n    select s as cls, o as ancestor from tc"
+    )
+
+
+def q_kg_rdfs_closure(spark, sf_dir):
+    """RDFS entailment materialization (web/inference.py::
+    rdfs_closure): base graph = ``?doc a ?Entity`` type triples plus the
+    minted ``rdfs:subClassOf`` hierarchy; output adds rule rdfs11
+    (subclass transitivity) and rule rdfs9 (types inherit up the
+    closure) — the reasoner step SQL-layer consumers of a materialized
+    triple table don't get from a triple store."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import _mention_counts
+    from mhdb_tables2turtles_spark.web.inference import rdfs_closure
+
+    types = _mention_counts(spark, sf_dir).select(
+        udfs.iri(
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+            "delimited",
+        ).alias("subject"),
+        F.lit("a").alias("predicate"),
+        udfs.iri(F.col("term"), "PascalCase").alias("object"),
+    )
+    base = types.unionByName(_subclass_triples(spark, sf_dir))
+    return rdfs_closure(base)
+
+
+def _sql_rdfs_closure(cooc_sql: str, mentions_sql: str) -> str:
+    return f"""
+    with recursive m as ({mentions_sql}),
+    {_sql_subclass(cooc_sql).strip()},
+    ty as (select distinct {_SQL_DOC_IRI} as s, {_SQL_TERM_IRI} as o from m)
+    select distinct subject, predicate, object from (
+        select s as subject, 'a' as predicate, o as object from ty
+        union all
+        select s, 'rdfs:subClassOf', o from sub
+        union all
+        select s, 'rdfs:subClassOf', o from tc
+        union all
+        select ty.s, 'a', tc.o from ty join tc on ty.o = tc.s
+    )
+"""
+
+
+# SHACL-lite shapes for the quality-gate query: every doc must mention
+# >= 2 distinct entities (IRI-shaped), frequent-mention fan-out is
+# capped at 2, and :Spark may not be a frequent mention (sh:in
+# complement) — all four constraint components exercised, three fire
+# at sf0.01.
+_SHACL_SHAPES = [
+    {"predicate": ":mentions", "min_count": 2, "node_prefix": ":"},
+    {"predicate": ":mentionsOften", "max_count": 2, "not_in": (":Spark",)},
+]
+
+
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-lite validation report (web/shapes.py::validate_shapes)
+    over the two-predicate doc fixture: one violation row per broken
+    constraint — cardinality checks as ONE (subject, predicate)
+    aggregation, value checks as shuffle-free row-local scans."""
+    from mhdb_tables2turtles_spark.web.shapes import validate_shapes
+
+    return validate_shapes(_often_triples(spark, sf_dir), _SHACL_SHAPES)
+
+
+def _sql_shacl(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    t as (
+        select {_SQL_DOC_IRI} as subject, ':mentions' as predicate,
+               {_SQL_TERM_IRI} as object from m
+        union all
+        select {_SQL_DOC_IRI}, ':mentionsOften', {_SQL_TERM_IRI}
+        from m where n >= {_OFTEN_MIN_N}
+    ),
+    f as (select distinct subject as focus from t),
+    c as (select subject, predicate, count(distinct object) as n
+          from t group by 1, 2)
+    select focus, ':mentions' as predicate,
+           'minCount' as component,
+           cast(coalesce(x.n, 0) as varchar) as value
+    from f left join (select subject, n from c
+                      where predicate = ':mentions') x
+      on f.focus = x.subject
+    where coalesce(x.n, 0) < 2
+    union all
+    select focus, ':mentionsOften', 'maxCount',
+           cast(coalesce(y.n, 0) as varchar)
+    from f left join (select subject, n from c
+                      where predicate = ':mentionsOften') y
+      on f.focus = y.subject
+    where coalesce(y.n, 0) > 2
+    union all
+    select distinct subject, ':mentions', 'nodeKind', object
+    from t where predicate = ':mentions' and object not like ':%'
+    union all
+    select distinct subject, ':mentionsOften', 'in', object
+    from t where predicate = ':mentionsOften' and object = ':Spark'
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -1212,6 +1444,11 @@ GRAPH_QUERIES = {
     "kg_bgp_compile": q_kg_bgp_compile,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_property_table": q_kg_property_table,
+    "kg_union_join": q_kg_union_join,
+    "kg_minus_filter": q_kg_minus_filter,
+    "kg_path_closure": q_kg_path_closure,
+    "kg_rdfs_closure": q_kg_rdfs_closure,
+    "kg_shacl_report": q_kg_shacl_report,
 }
 
 
@@ -1242,4 +1479,9 @@ def graph_oracles(
         "kg_bgp_compile": _sql_bgp_compile(cooc_sql, triples_sql),
         "kg_construct_rule": _sql_construct(cooc_sql, triples_sql),
         "kg_property_table": _sql_property_table(mentions_sql),
+        "kg_union_join": _sql_union(mentions_sql),
+        "kg_minus_filter": _sql_minus(mentions_sql),
+        "kg_path_closure": _sql_path_closure(cooc_sql),
+        "kg_rdfs_closure": _sql_rdfs_closure(cooc_sql, mentions_sql),
+        "kg_shacl_report": _sql_shacl(mentions_sql),
     }

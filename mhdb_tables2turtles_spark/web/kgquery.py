@@ -33,6 +33,7 @@ __all__ = [
     "bgp_star",
     "bgp_chain",
     "bgp_optional",
+    "bgp_union",
     "compile_bgp",
     "construct",
     "property_table",
@@ -166,6 +167,8 @@ def compile_bgp(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],
     optional: Sequence[tuple[str, str, str]] = (),
+    minus: Sequence[tuple[str, str, str]] = (),
+    filters: Sequence[str] = (),
     subject_col: str = "subject",
     predicate_col: str = "predicate",
     object_col: str = "object",
@@ -179,6 +182,15 @@ def compile_bgp(
     (SPARQL OPTIONAL).  Subsumes :func:`bgp_star` (one variable,
     repeated) and :func:`bgp_chain` (a linear variable chain).
 
+    ``minus`` is a second pattern block compiled the same way whose
+    solutions REMOVE required-block bindings that agree on every shared
+    variable — SPARQL MINUS.  Per the spec, a minus block sharing no
+    variable with the required block removes nothing (it is ignored,
+    not a cartesian filter).  ``filters`` are SQL boolean expressions
+    over the variable names (SPARQL FILTER), applied after the joins so
+    they may reference variables from any pattern; Catalyst pushes each
+    one down as far as its column references allow.
+
     Compilation: each pattern becomes the triple table filtered on its
     literal positions and projected to its variable positions (a
     repeated variable inside one pattern compiles to an equality
@@ -189,7 +201,9 @@ def compile_bgp(
     predicate-partitioned triple store is partition pruning.  Patterns
     sharing no variable with the accumulated result produce an explicit
     crossJoin (the SPARQL cartesian case — caller's responsibility at
-    scale).
+    scale).  MINUS compiles to a left-anti join on the shared
+    variables — never a subtract over full rows, so only the shared
+    columns shuffle.
     """
     if not patterns:
         raise ValueError("compile_bgp needs at least one required pattern")
@@ -235,9 +249,63 @@ def compile_bgp(
     cur = None
     for pat in patterns:
         cur = join_in(cur, pat, "inner")
+    if minus:
+        neg = None
+        for pat in minus:
+            neg = join_in(neg, pat, "inner")
+        # join_in appended the minus block's variables to the output
+        # order; they bind nothing in the result — drop them again
+        order = [v for v in order if v in cur.columns]
+        shared = [c for c in cur.columns if c in neg.columns]
+        if shared:  # disjoint MINUS removes nothing (SPARQL spec)
+            cur = cur.join(neg.select(*shared), shared, "left_anti")
     for pat in optional:
         cur = join_in(cur, pat, "left")
+    for expr in filters:
+        cur = cur.filter(F.expr(expr))
     out = cur.select(*order)
+    return out.distinct() if distinct else out
+
+
+def bgp_union(
+    triples: DataFrame,
+    blocks: Sequence[Sequence[tuple[str, str, str]]],
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL UNION: solve each pattern block with :func:`compile_bgp`
+    and union the solution sets.  Every block must bind the SAME
+    variable set (the common SPARQL shape; general unions with unbound
+    columns are an OPTIONAL restatement) — enforced loudly rather than
+    silently null-padded.  Columns follow the first block's order.
+
+    Plan shape: each branch is an independently compiled join tree —
+    they parallelize as sibling stages — and the union itself is a
+    zero-shuffle concatenation; only the final ``distinct`` (set
+    semantics, the SPARQL default) shuffles, keyed by the full binding
+    row.  Pass ``distinct=False`` for UNION ALL / bag semantics.
+    """
+    if not blocks:
+        raise ValueError("bgp_union needs at least one pattern block")
+    kw = dict(
+        subject_col=subject_col,
+        predicate_col=predicate_col,
+        object_col=object_col,
+        distinct=False,
+    )
+    parts = [compile_bgp(triples, b, **kw) for b in blocks]
+    cols = parts[0].columns
+    for i, p in enumerate(parts[1:], start=2):
+        if set(p.columns) != set(cols):
+            raise ValueError(
+                f"bgp_union block {i} binds {sorted(p.columns)}, "
+                f"block 1 binds {sorted(cols)} — blocks must agree"
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.distinct() if distinct else out
 
 

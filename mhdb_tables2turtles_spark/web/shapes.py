@@ -1,0 +1,160 @@
+"""SHACL-lite shape validation over the materialized triple table —
+the KG quality gate.
+
+The reference validates its OUTPUT SYNTAX (validate_turtle_files.sh →
+our ``operators/validate.py`` Turtle grammar checker); a pipeline that
+materializes a graph also needs SEMANTIC validation: does every entity
+carry the properties its shape demands, with values of the right form?
+That is SHACL's job.  This module implements the subset of SHACL core
+that covers the common data-quality constraints — ``sh:minCount``,
+``sh:maxCount``, ``sh:in``, and an IRI-prefix form of ``sh:nodeKind``/
+``sh:pattern`` — as pure DataFrame algebra.
+
+A shape is a plain dict::
+
+    {"predicate": ":mentions",      # sh:path
+     "min_count": 1,                # sh:minCount   (optional)
+     "max_count": 5,                # sh:maxCount   (optional)
+     "node_prefix": ":",            # value must start with (optional)
+     "not_in": (":Forbidden",)}     # sh:in complement (optional)
+
+Plan shape — the part that must survive 10^12 triples:
+
+* Cardinality checks are ONE aggregation: pre-filter to the constrained
+  predicates (partition pruning on a predicate-partitioned store),
+  ``groupBy(subject, predicate).agg(count_distinct(object))`` — a
+  single shuffle on the near-uniform (subject, predicate) key — then a
+  row-local comparison per shape.  ``minCount`` needs the subjects that
+  have ZERO rows of a predicate, so the count table left-joins from the
+  focus-node universe (itself one distinct over pre-filtered subjects);
+  that join is subject-keyed and AQE-planned.
+* Value checks (``node_prefix`` / ``not_in``) never shuffle at all:
+  each is a predicate-filtered row-local scan emitting one violation
+  row per offending value.
+* The report is the union of per-shape violation sets — column-aligned
+  appends, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate_shapes"]
+
+_REPORT_COLS = ("focus", "predicate", "component", "value")
+
+
+def validate_shapes(
+    triples: DataFrame,
+    shapes: Sequence[Mapping],
+    targets: DataFrame | None = None,
+) -> DataFrame:
+    """Violation report ``(focus, predicate, component, value)`` for
+    every shape constraint broken in ``triples`` — empty means the
+    graph conforms.
+
+    ``component`` names the violated SHACL constraint component
+    (``minCount`` / ``maxCount`` / ``nodeKind`` / ``in``); ``value`` is
+    the offending cardinality (as a string, for a uniform column type)
+    or the offending object value.  ``targets`` optionally narrows the
+    focus-node universe (e.g. subjects of one ``rdf:type``, SHACL's
+    ``sh:targetClass``) as a one-column ``focus`` DataFrame; the
+    default universe is every distinct subject of the constrained
+    predicates — note that a subject appearing ONLY under unconstrained
+    predicates is then outside the universe, so ``min_count`` does not
+    fire for it (pass explicit ``targets`` for strict targeting).
+    """
+    if not shapes:
+        raise ValueError("validate_shapes needs at least one shape")
+    preds = sorted({s["predicate"] for s in shapes})
+    base = triples.filter(F.col("predicate").isin(*preds))
+
+    if targets is None:
+        focus = base.select(F.col("subject").alias("focus")).distinct()
+    else:
+        focus = targets.select(F.col(targets.columns[0]).alias("focus"))
+    focus = focus.localCheckpoint(eager=False)
+
+    need_counts = [
+        s for s in shapes
+        if s.get("min_count") is not None or s.get("max_count") is not None
+    ]
+    reports: list[DataFrame] = []
+
+    if need_counts:
+        counts = (
+            base.filter(
+                F.col("predicate").isin(
+                    *sorted({s["predicate"] for s in need_counts})
+                )
+            )
+            .groupBy("subject", "predicate")
+            .agg(F.count_distinct("object").alias("__n"))
+        )
+        for s in need_counts:
+            per = (
+                focus.join(
+                    counts.filter(F.col("predicate") == s["predicate"])
+                    .withColumnRenamed("subject", "focus")
+                    .drop("predicate"),
+                    "focus",
+                    "left",
+                )
+                .select(
+                    "focus",
+                    F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+                )
+            )
+            if s.get("min_count") is not None:
+                reports.append(
+                    per.filter(F.col("__n") < s["min_count"]).select(
+                        "focus",
+                        F.lit(s["predicate"]).alias("predicate"),
+                        F.lit("minCount").alias("component"),
+                        F.col("__n").cast("string").alias("value"),
+                    )
+                )
+            if s.get("max_count") is not None:
+                reports.append(
+                    per.filter(F.col("__n") > s["max_count"]).select(
+                        "focus",
+                        F.lit(s["predicate"]).alias("predicate"),
+                        F.lit("maxCount").alias("component"),
+                        F.col("__n").cast("string").alias("value"),
+                    )
+                )
+
+    for s in shapes:
+        rows = base.filter(F.col("predicate") == s["predicate"])
+        if s.get("node_prefix") is not None:
+            reports.append(
+                rows.filter(~F.col("object").startswith(s["node_prefix"]))
+                .select(
+                    F.col("subject").alias("focus"),
+                    F.lit(s["predicate"]).alias("predicate"),
+                    F.lit("nodeKind").alias("component"),
+                    F.col("object").alias("value"),
+                )
+                .distinct()
+            )
+        if s.get("not_in"):
+            reports.append(
+                rows.filter(F.col("object").isin(*s["not_in"]))
+                .select(
+                    F.col("subject").alias("focus"),
+                    F.lit(s["predicate"]).alias("predicate"),
+                    F.lit("in").alias("component"),
+                    F.col("object").alias("value"),
+                )
+                .distinct()
+            )
+
+    if not reports:
+        raise ValueError("no shape carries any constraint")
+    return reduce(lambda a, b: a.unionByName(b), reports).select(
+        *_REPORT_COLS
+    )

@@ -821,3 +821,184 @@ def test_kcore_fixpoint_mode_matches_fixed_rounds(spark):
     fix = {r.node: r.core_degree for r in kcore(df, k=3, rounds=None).collect()}
     many = {r.node: r.core_degree for r in kcore(df, k=3, rounds=10).collect()}
     assert fix == many == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_compile_bgp_minus_and_filter(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d1", ":m", ":Bad"),
+            (":d2", ":m", ":A"),
+            (":d2", ":m", ":B"),
+            (":d3", ":m", ":A"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    # MINUS removes d1 (it matches the minus block on the shared ?d)
+    out = compile_bgp(
+        t,
+        [("?d", ":m", ":A"), ("?d", ":m", "?e")],
+        minus=[("?d", ":m", ":Bad")],
+    )
+    assert out.columns == ["d", "e"]  # minus vars bind nothing
+    assert {tuple(r) for r in out.collect()} == {
+        (":d2", ":A"),
+        (":d2", ":B"),
+        (":d3", ":A"),
+    }
+    # FILTER applies over the joined bindings
+    out2 = compile_bgp(
+        t,
+        [("?d", ":m", ":A"), ("?d", ":m", "?e")],
+        minus=[("?d", ":m", ":Bad")],
+        filters=["e != ':A'"],
+    )
+    assert {tuple(r) for r in out2.collect()} == {(":d2", ":B")}
+    # a MINUS block sharing no variable removes nothing (SPARQL spec)
+    out3 = compile_bgp(
+        t, [("?d", ":m", ":A")], minus=[("?z", ":m", ":Bad")]
+    )
+    assert {r.d for r in out3.collect()} == {":d1", ":d2", ":d3"}
+
+
+def test_bgp_union_set_semantics_and_mismatch(spark):
+    import pytest as _pytest
+
+    from mhdb_tables2turtles_spark.web.kgquery import bgp_union
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d2", ":often", ":A"),
+            (":d1", ":often", ":B"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = bgp_union(
+        t,
+        [[("?d", ":m", "?e")], [("?d", ":often", "?e")]],
+    )
+    assert out.columns == ["d", "e"]
+    assert {tuple(r) for r in out.collect()} == {
+        (":d1", ":A"),
+        (":d2", ":A"),
+        (":d1", ":B"),
+    }
+    # duplicate across branches collapses under set semantics
+    t2 = spark.createDataFrame(
+        [(":d1", ":m", ":A"), (":d1", ":often", ":A")],
+        ["subject", "predicate", "object"],
+    )
+    both = bgp_union(
+        t2, [[("?d", ":m", "?e")], [("?d", ":often", "?e")]]
+    )
+    assert both.count() == 1
+    with _pytest.raises(ValueError, match="must agree"):
+        bgp_union(t, [[("?d", ":m", "?e")], [("?d", ":often", ":A")]])
+    with _pytest.raises(ValueError, match="at least one pattern block"):
+        bgp_union(t, [])
+
+
+def test_transitive_closure_chain_dag_cycle(spark):
+    from mhdb_tables2turtles_spark.web.inference import transitive_closure
+
+    # chain a->b->c->d: closure adds a->c, a->d, b->d
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {tuple(r) for r in transitive_closure(chain).collect()}
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d"),
+    }
+    # max_rounds=1 stops after one extension (paths of length <= 2)
+    got1 = {
+        tuple(r) for r in transitive_closure(chain, max_rounds=1).collect()
+    }
+    assert got1 == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d"),
+    }
+    # a 3-cycle terminates: every ordered pair of distinct members
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], ["src", "dst"]
+    )
+    gotc = {tuple(r) for r in transitive_closure(cyc).collect()}
+    assert gotc == {
+        (a, b) for a in "xyz" for b in "xyz" if a != b
+    }
+
+
+def test_rdfs_closure_type_inheritance(spark):
+    from mhdb_tables2turtles_spark.web.inference import rdfs_closure
+
+    t = spark.createDataFrame(
+        [
+            (":doc1", "a", ":Cat"),
+            (":Cat", "rdfs:subClassOf", ":Mammal"),
+            (":Mammal", "rdfs:subClassOf", ":Animal"),
+            (":doc2", "a", ":Animal"),  # already at the top: no gain
+            (":doc1", ":other", ":x"),  # untouched passenger triple
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {tuple(r) for r in rdfs_closure(t).collect()}
+    base = {
+        (":doc1", "a", ":Cat"),
+        (":Cat", "rdfs:subClassOf", ":Mammal"),
+        (":Mammal", "rdfs:subClassOf", ":Animal"),
+        (":doc2", "a", ":Animal"),
+        (":doc1", ":other", ":x"),
+    }
+    inferred = {
+        (":Cat", "rdfs:subClassOf", ":Animal"),  # rdfs11
+        (":doc1", "a", ":Mammal"),  # rdfs9 one level up
+        (":doc1", "a", ":Animal"),  # rdfs9 through the closure
+    }
+    assert got == base | inferred
+
+
+def test_validate_shapes_all_components(spark):
+    from mhdb_tables2turtles_spark.web.shapes import validate_shapes
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),            # d1: 1 mention -> minCount
+            (":d2", ":m", ":A"),
+            (":d2", ":m", ":B"),            # d2 conforms on :m
+            (":d2", ":m", "bare"),          # nodeKind: no ':' prefix
+            (":d2", ":often", ":A"),
+            (":d2", ":often", ":B"),
+            (":d2", ":often", ":C"),        # 3 > max 2 -> maxCount
+            (":d1", ":often", ":Bad"),      # in-violation value
+            (":d9", ":unrelated", ":x"),    # outside constrained preds
+        ],
+        ["subject", "predicate", "object"],
+    )
+    shapes = [
+        {"predicate": ":m", "min_count": 2, "node_prefix": ":"},
+        {"predicate": ":often", "max_count": 2, "not_in": (":Bad",)},
+    ]
+    got = {tuple(r) for r in validate_shapes(t, shapes).collect()}
+    assert got == {
+        (":d1", ":m", "minCount", "1"),
+        # d1 has :often rows but no :m conformance issue beyond minCount;
+        # d2's bare object counts toward :m cardinality AND violates
+        # nodeKind
+        (":d2", ":m", "nodeKind", "bare"),
+        (":d2", ":often", "maxCount", "3"),
+        (":d1", ":often", "in", ":Bad"),
+    }
+    # explicit targets: a focus node with zero rows fires minCount
+    targets = spark.createDataFrame([(":dX",)], ["focus"])
+    got2 = {
+        tuple(r) for r in validate_shapes(t, shapes, targets).collect()
+    }
+    assert (":dX", ":m", "minCount", "0") in got2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one shape"):
+        validate_shapes(t, [])
+    with _pytest.raises(ValueError, match="no shape carries"):
+        validate_shapes(t, [{"predicate": ":m"}])
