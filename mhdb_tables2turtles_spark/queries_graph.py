@@ -1363,6 +1363,127 @@ def _sql_rdfs_closure(cooc_sql: str, mentions_sql: str) -> str:
 """
 
 
+def q_kg_canonical_triples(spark, sf_dir):
+    """sameAs smushing under the gate (web/canonicalize.py::
+    rewrite_triples): equivalence edges = the hash-sparsified strong
+    co-mention pairs (as if an alias dictionary had merged them),
+    canonical labels via connected_components, then every mention
+    triple's object rewritten to its component's canonical IRI (doc
+    subjects pass through unmapped) — the canonicalization step every
+    KG build runs between extraction and materialization."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.queries import (
+        q_kg_cooccurrence,
+        q_kg_triples,
+    )
+    from mhdb_tables2turtles_spark.web.canonicalize import (
+        canonical_mapping,
+        connected_components,
+        rewrite_triples,
+    )
+
+    eq = (
+        q_kg_cooccurrence(spark, sf_dir)
+        .filter(
+            (F.col("n_docs") >= _PR_MIN_DOCS)
+            & (
+                hash60(F.concat_ws(" ", F.col("term_a"), F.col("term_b")))
+                % 9
+                == 0
+            )
+        )
+        .select(
+            udfs.iri(F.col("term_a"), "PascalCase").alias("src"),
+            udfs.iri(F.col("term_b"), "PascalCase").alias("dst"),
+        )
+    )
+    mapping = canonical_mapping(connected_components(eq))
+    return rewrite_triples(q_kg_triples(spark, sf_dir), mapping)
+
+
+def _sql_canonical_triples(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with recursive eq0 as (
+        select term_a, term_b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+          and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT % 9 = 0
+    ),
+    eqi as (select {_SQL_TERM_IRI_A} as u, {_SQL_TERM_IRI_B} as v from eq0),
+    e as (select u, v from eqi union select v, u from eqi),
+    reach(node, r) as (
+        select distinct u, u from e
+        union
+        select reach.node, e.v from reach join e on reach.r = e.u
+    ),
+    m as (select node as iri, min(r) as canon from reach group by node),
+    t as ({triples_sql})
+    select distinct
+        coalesce(ms.canon, t.subject) as subject,
+        t.predicate,
+        coalesce(mo.canon, t.object) as object
+    from t
+    left join m ms on t.subject = ms.iri
+    left join m mo on t.object = mo.iri
+"""
+
+
+_PPR_SEEDS = ("spark",)
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank (web/graphrank.py::ppr_fixed): teleport
+    restarts at the 'spark' seed entity — rank relative to a topic,
+    the KG recommendation primitive.  Same exact-integer contract as
+    kg_pagerank; the oracle unrolls the identical rounds."""
+    from mhdb_tables2turtles_spark.web.graphrank import ppr_fixed
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], ["node"])
+    return ppr_fixed(edges, seeds, iterations=_PR_ITERS)
+
+
+def _sql_ppr(cooc_sql: str) -> str:
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    base = (15 * SCALE) // 100
+    parts = [
+        f"""with e0 as (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+        ),
+        e as (select term_a as u, term_b as v from e0
+              union all select term_b, term_a from e0),
+        deg as (select u, count(*) as d from e group by u),
+        nodes as (select distinct u as node from e),
+        r0 as (select node,
+                      cast(case when node in ({seeds}) then {SCALE}
+                           else 0 end as bigint) as pr
+               from nodes)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{i} as (
+            select n.node,
+                   cast(case when n.node in ({seeds}) then {base}
+                        else 0 end
+                        + coalesce(s.c, 0) as bigint) as pr
+            from nodes n
+            left join (
+                select e.v as node,
+                       sum((85 * r.pr) // (100 * deg.d)) as c
+                from e
+                join r{i-1} r on e.u = r.node
+                join deg on deg.u = e.u
+                group by e.v
+            ) s on n.node = s.node)"""
+        )
+    return (
+        ",\n".join(parts) + f"\nselect node, pr from r{_PR_ITERS}"
+    )
+
+
 # SHACL-lite shapes for the quality-gate query: every doc must mention
 # >= 2 distinct entities (IRI-shaped), frequent-mention fan-out is
 # capped at 2, and :Spark may not be a frequent mention (sh:in
@@ -1449,6 +1570,8 @@ GRAPH_QUERIES = {
     "kg_path_closure": q_kg_path_closure,
     "kg_rdfs_closure": q_kg_rdfs_closure,
     "kg_shacl_report": q_kg_shacl_report,
+    "kg_ppr": q_kg_ppr,
+    "kg_canonical_triples": q_kg_canonical_triples,
 }
 
 
@@ -1484,4 +1607,8 @@ def graph_oracles(
         "kg_path_closure": _sql_path_closure(cooc_sql),
         "kg_rdfs_closure": _sql_rdfs_closure(cooc_sql, mentions_sql),
         "kg_shacl_report": _sql_shacl(mentions_sql),
+        "kg_ppr": _sql_ppr(cooc_sql),
+        "kg_canonical_triples": _sql_canonical_triples(
+            cooc_sql, triples_sql
+        ),
     }

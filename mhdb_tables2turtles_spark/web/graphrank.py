@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "SCALE",
     "pagerank_fixed",
+    "ppr_fixed",
     "triangle_counts",
     "bfs_hops",
     "label_propagation",
@@ -122,6 +123,76 @@ def pagerank_directed(edges: DataFrame, iterations: int = 5) -> DataFrame:
         ).select(
             "node",
             (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).alias("pr"),
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    return ranks
+
+
+def ppr_fixed(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """(node, pr): PERSONALIZED PageRank in integer micro-units over the
+    undirected graph of distinct ``(src, dst)`` pairs — teleport mass
+    restarts at the SEED set instead of uniformly, so rank measures
+    importance RELATIVE to the seeds (topic-sensitive entity relevance,
+    the standard KG recommendation primitive).
+
+    Differences from :func:`pagerank_fixed` forced by personalization:
+    ``r0`` is SCALE on seeds and 0 elsewhere, the per-round base term
+    lands only on seeds, and the node universe is pinned once and
+    LEFT-joined every round — a node all of whose in-neighbors hold
+    zero rank must stay in the table at 0 (it can become reachable in a
+    later round), where the uniform variant's inner-join shape would
+    silently drop it.  Same exact-integer determinism contract: every
+    division an explicit floor on positive operands, so the DuckDB
+    oracle unrolls the identical iterations.
+
+    ``seeds`` is a one-column DataFrame of node ids.
+    """
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = both.groupBy("u").agg(F.count("*").alias("deg"))
+    adj = both.join(deg, "u").cache()
+    nodes = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .join(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+            .withColumn("__seed", F.lit(1)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = (15 * SCALE) // 100
+    seed_base = F.when(F.col("__seed") == 1, F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("__seed") == 1, F.lit(SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["u"] == ranks["node"])
+            .select(
+                F.col("v"),
+                F.expr("(85 * pr) div (100 * deg)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["v"], "left"
+        ).select(
+            "node",
+            (seed_base + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
         )
     ranks = ranks.localCheckpoint(eager=True)
     adj.unpersist()

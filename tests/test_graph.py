@@ -1002,3 +1002,29 @@ def test_validate_shapes_all_components(spark):
         validate_shapes(t, [])
     with _pytest.raises(ValueError, match="no shape carries"):
         validate_shapes(t, [{"predicate": ":m"}])
+
+
+def test_ppr_seed_locality(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import SCALE, ppr_fixed
+
+    # path a-b-c-d-e seeded at a: rank decays with distance from seed
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.pr for r in ppr_fixed(edges, seeds, 5).collect()}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    # a path is bipartite, so synchronous rounds oscillate between the
+    # two parity classes — distance decay from the seed holds WITHIN a
+    # parity class: even-distance a > c > e, odd-distance b > d
+    assert got["a"] > got["c"] > got["e"]
+    assert got["b"] > got["d"]
+    assert max(got.values()) < SCALE * 2  # bounded: no mass explosion
+    # two symmetric seeds on a 4-cycle: opposite corners equal
+    cyc = spark.createDataFrame(
+        [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")], ["src", "dst"]
+    )
+    two = spark.createDataFrame([("p",), ("r",)], ["node"])
+    g2 = {r.node: r.pr for r in ppr_fixed(cyc, two, 4).collect()}
+    assert g2["p"] == g2["r"] and g2["q"] == g2["s"]
+    assert g2["p"] > g2["q"]
