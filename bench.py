@@ -99,6 +99,14 @@ BENCH_QUERIES = (
     "kg_bgp_compile",
     "kg_construct_rule",
     "kg_property_table",
+    # round-4b: SPARQL algebra, inference, shapes, personalization
+    "kg_union_join",
+    "kg_minus_filter",
+    "kg_path_closure",
+    "kg_rdfs_closure",
+    "kg_shacl_report",
+    "kg_ppr",
+    "kg_canonical_triples",
 )
 
 

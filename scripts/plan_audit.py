@@ -61,6 +61,14 @@ AUDIT = (
     "kg_bgp_compile",
     "kg_construct_rule",
     "kg_property_table",
+    # round-4b: SPARQL algebra, inference, shapes, personalization
+    "kg_union_join",
+    "kg_minus_filter",
+    "kg_path_closure",
+    "kg_rdfs_closure",
+    "kg_shacl_report",
+    "kg_ppr",
+    "kg_canonical_triples",
 )
 
 CHECKS = {
@@ -117,8 +125,27 @@ CHECKS = {
     # cartesian plan
     "kg_bgp_compile": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "kg_construct_rule": ["!CartesianProduct", "Union"],
-    # ONE aggregation, never a per-predicate self-join chain
-    "kg_property_table": ["HashAggregate", "!SortMergeJoin"],
+    # ONE aggregation, never a per-predicate self-join chain (string-min
+    # buffers are immutable, so Catalyst picks SortAggregate here —
+    # "Aggregate" matches either physical choice)
+    "kg_property_table": ["Aggregate", "!SortMergeJoin", "!Join"],
+    # union branches concatenate without a join between them; the only
+    # joins are within-branch and never cartesian
+    "kg_union_join": ["Union", "!CartesianProduct"],
+    # MINUS is a left-anti join on the shared variable only
+    "kg_minus_filter": ["LeftAnti", "!CartesianProduct"],
+    # fixpoint loops checkpoint per round; the final plan is the
+    # materialized closure scan (per-round delta-proportional joins are
+    # asserted in tests/test_graph.py)
+    "kg_path_closure": ["Scan ExistingRDD"],
+    # rdfs9's instance-scale join is a broadcast of the class closure
+    "kg_rdfs_closure": ["BroadcastHashJoin"],
+    # cardinality checks are aggregations; value checks add no join
+    # against the focus universe beyond the left joins on focus keys
+    "kg_shacl_report": ["HashAggregate", "Union", "!CartesianProduct"],
+    "kg_ppr": ["Scan ExistingRDD"],
+    # the canonical map applies as two broadcast left joins
+    "kg_canonical_triples": ["BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
