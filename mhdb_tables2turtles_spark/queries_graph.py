@@ -1363,6 +1363,96 @@ def _sql_rdfs_closure(cooc_sql: str, mentions_sql: str) -> str:
 """
 
 
+_HITS_ITERS = 2
+
+
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities (web/graphrank.py::hits_fixed) over a
+    DIRECTED graph: the hash-sparsified strong co-mention pairs taken
+    as directed term_a→term_b edges (the same fixture device as
+    kg_link_predict — the full co-mention graph is symmetric, which
+    would make hub == auth everywhere)."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.graphrank import hits_fixed
+
+    edges = (
+        q_kg_cooccurrence_edges(spark, sf_dir)
+        .filter(
+            hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+        )
+    )
+    return hits_fixed(edges, iterations=_HITS_ITERS)
+
+
+def _sql_hits(cooc_sql: str) -> str:
+    parts = [
+        f"""with e as (
+            select term_a as u, term_b as v from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+              and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                  % 3 = 0
+        ),
+        nodes as (select u as node from e union select v from e),
+        h0 as (select node, cast(1 as bigint) as hub from nodes)"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""a{i} as (
+            select n.node, cast(coalesce(s.a, 0) as bigint) as auth
+            from nodes n left join (
+                select e.v as node, sum(h.hub) as a
+                from e join h{i-1} h on e.u = h.node group by e.v
+            ) s on n.node = s.node),
+        h{i} as (
+            select n.node, cast(coalesce(s.h, 0) as bigint) as hub
+            from nodes n left join (
+                select e.u as node, sum(a.auth) as h
+                from e join a{i} a on e.v = a.node group by e.u
+            ) s on n.node = s.node)"""
+        )
+    k = _HITS_ITERS
+    return (
+        ",\n".join(parts)
+        + f"""
+    select h{k}.node, h{k}.hub, a{k}.auth
+    from h{k} join a{k} on h{k}.node = a{k}.node
+"""
+    )
+
+
+def q_kg_void_stats(spark, sf_dir):
+    """VoID-style dataset statistics per predicate (the W3C "Vocabulary
+    of Interlinked Datasets" property-partition numbers): triple count,
+    distinct subjects, distinct objects — the summary every triple
+    store publishes and every query planner feeds on.  ONE aggregation
+    keyed by predicate; the distinct counts partial-aggregate map-side."""
+    t = _mention_plus_cooc_triples(spark, sf_dir)
+    return t.groupBy("predicate").agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("subject").alias("n_subjects"),
+        F.count_distinct("object").alias("n_objects"),
+    )
+
+
+def _sql_void_stats(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with c as (select term_a, term_b from ({cooc_sql})
+               where n_docs >= {_CHAIN_MIN_DOCS}),
+    t as (
+        select subject, predicate, object from ({triples_sql})
+        union all
+        select {_SQL_TERM_IRI_A}, ':coOccursWith', {_SQL_TERM_IRI_B} from c
+        union all
+        select {_SQL_TERM_IRI_B}, ':coOccursWith', {_SQL_TERM_IRI_A} from c
+    )
+    select predicate,
+           count(*) as n_triples,
+           count(distinct subject) as n_subjects,
+           count(distinct object) as n_objects
+    from t group by predicate
+"""
+
+
 def q_kg_canonical_triples(spark, sf_dir):
     """sameAs smushing under the gate (web/canonicalize.py::
     rewrite_triples): equivalence edges = the hash-sparsified strong
@@ -1572,6 +1662,8 @@ GRAPH_QUERIES = {
     "kg_shacl_report": q_kg_shacl_report,
     "kg_ppr": q_kg_ppr,
     "kg_canonical_triples": q_kg_canonical_triples,
+    "kg_hits": q_kg_hits,
+    "kg_void_stats": q_kg_void_stats,
 }
 
 
@@ -1611,4 +1703,6 @@ def graph_oracles(
         "kg_canonical_triples": _sql_canonical_triples(
             cooc_sql, triples_sql
         ),
+        "kg_hits": _sql_hits(cooc_sql),
+        "kg_void_stats": _sql_void_stats(cooc_sql, triples_sql),
     }

@@ -32,6 +32,7 @@ __all__ = [
     "SCALE",
     "pagerank_fixed",
     "ppr_fixed",
+    "hits_fixed",
     "triangle_counts",
     "bfs_hops",
     "label_propagation",
@@ -197,6 +198,63 @@ def ppr_fixed(
     ranks = ranks.localCheckpoint(eager=True)
     adj.unpersist()
     return ranks
+
+
+def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """(node, hub, auth): Kleinberg HITS over a DIRECTED graph of
+    distinct ``(src, dst)`` pairs — hubs point at good authorities,
+    authorities are pointed at by good hubs.  The complement to
+    :func:`pagerank_directed` for hyperlink analysis: PageRank measures
+    endorsement flow, HITS separates the curator role (hub) from the
+    destination role (authority).
+
+    Determinism contract: UNNORMALIZED integer iterations — scores
+    start at 1 and each round is two exact integer sum-joins
+    (``auth = Σ hub(in-neighbors)``, then ``hub = Σ auth(out-
+    neighbors)``), so the DuckDB oracle unrolls identically.  Classic
+    HITS L2-normalizes per round purely for CONVERGENCE of the values;
+    the RANKING after k rounds is identical without it (the iteration
+    is the power method on AᵀA, scaling does not change eigvector
+    direction).  Magnitudes grow ~(d_max²)^k, so iterations must stay
+    small: k=2 on a graph with max degree 10^6 is ~10^24... beyond
+    int64 — callers at web scale keep k<=2 and pre-cap hub degrees (the
+    same ``link_predict`` treatment); overflow would surface loudly as
+    a negative score, asserted in tests.
+
+    Plan shape: two shuffle aggregations per round on near-uniform
+    endpoint keys, node universe pinned once so sink/source nodes
+    (no out/in edges) keep score 0 instead of dropping out.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = nodes.join(a, nodes["node"] == a["dst"], "left").select(
+            "node", F.coalesce(F.col("auth"), F.lit(0)).alias("auth")
+        )
+        h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(h, nodes["node"] == h["src"], "left").select(
+            "node", F.coalesce(F.col("hub"), F.lit(0)).alias("hub")
+        )
+    out = hub.join(auth, "node").select(
+        "node", "hub", "auth"
+    ).localCheckpoint(eager=True)
+    return out
 
 
 def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:

@@ -1028,3 +1028,27 @@ def test_ppr_seed_locality(spark):
     g2 = {r.node: r.pr for r in ppr_fixed(cyc, two, 4).collect()}
     assert g2["p"] == g2["r"] and g2["q"] == g2["s"]
     assert g2["p"] > g2["q"]
+
+
+def test_hits_hub_authority_separation(spark):
+    from mhdb_tables2turtles_spark.web.graphrank import hits_fixed
+
+    # h1, h2 both point at a1, a2; a1 also receives from h3
+    edges = spark.createDataFrame(
+        [
+            ("h1", "a1"), ("h1", "a2"),
+            ("h2", "a1"), ("h2", "a2"),
+            ("h3", "a1"),
+        ],
+        ["src", "dst"],
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits_fixed(edges, 2).collect()}
+    assert set(got) == {"h1", "h2", "h3", "a1", "a2"}
+    # pure authorities have hub 0; pure hubs have auth 0
+    assert got["a1"][0] == 0 and got["a2"][0] == 0
+    assert got["h1"][1] == 0 and got["h3"][1] == 0
+    # a1 (3 in-edges) outranks a2 (2); two-target hubs outrank h3
+    assert got["a1"][1] > got["a2"][1] > 0
+    assert got["h1"][0] == got["h2"][0] > got["h3"][0] > 0
+    # no overflow on this fixture
+    assert all(h >= 0 and a >= 0 for h, a in got.values())
