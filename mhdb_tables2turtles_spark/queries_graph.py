@@ -1038,13 +1038,16 @@ _PT_PREDICATES = [":mentions", ":mentionsOften"]
 _OFTEN_MIN_N = 3  # per-doc mention count for the :mentionsOften predicate
 
 
-def _often_triples(spark, sf_dir):
+def _often_triples(spark, sf_dir, with_types: bool = False):
     """Two-predicate triple fixture shared by the property-table,
     OPTIONAL, UNION and MINUS queries: every mention as ``:mentions``
     plus frequent (n >= 3) mentions as ``:mentionsOften``, minted with
     the same IRI kernel as kg_triples — built from ONE checkpointed
-    mention scan."""
+    mention scan.  ``with_types`` appends ``(entity, a, :Entity)`` rows
+    for ~2/3 of the vocabulary (hash-selected — the rest are
+    deliberately untyped so sh:class violations exist to find)."""
     from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.ops.common import hash60
     from mhdb_tables2turtles_spark.queries import _mention_counts
 
     m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
@@ -1059,9 +1062,21 @@ def _often_triples(spark, sf_dir):
             udfs.iri(F.col("term"), "PascalCase").alias("object"),
         )
 
-    return mint(m, ":mentions").unionByName(
+    out = mint(m, ":mentions").unionByName(
         mint(m.filter(F.col("n") >= _OFTEN_MIN_N), ":mentionsOften")
     )
+    if with_types:
+        types = (
+            m.filter(hash60(F.col("term")) % 3 != 0)
+            .select(
+                udfs.iri(F.col("term"), "PascalCase").alias("subject"),
+                F.lit("a").alias("predicate"),
+                F.lit(":Entity").alias("object"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(types)
+    return out
 
 
 def q_kg_property_table(spark, sf_dir):
@@ -1453,6 +1468,97 @@ def _sql_void_stats(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_rule_support(spark, sf_dir):
+    """Derivation provenance for inferred triples: each
+    kg_construct_rule-derived ``(doc, :relatedTo, related)`` pair with
+    its WITNESS COUNT — the number of distinct intermediate entities
+    ?e that derive it (``?d :mentions ?e . ?e :coOccursWith ?f``).
+    Support counts are how a production KG ranks/filters rule output
+    (single-witness inferences are the noisy tail).  One aggregation
+    over the already-distinct binding set."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    b = compile_bgp(
+        _mention_plus_cooc_triples(spark, sf_dir),
+        [("?d", ":mentions", "?e"), ("?e", ":coOccursWith", "?f")],
+    )
+    return b.groupBy(
+        F.col("d").alias("doc"), F.col("f").alias("related")
+    ).agg(F.count("*").alias("n_witnesses"))
+
+
+def _sql_rule_support(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    b as (select distinct t.subject as d, ee.s as e, ee.o as f
+          from t join ee on t.object = ee.s
+          where t.predicate = ':mentions')
+    select d as doc, f as related, count(*) as n_witnesses
+    from b group by d, f
+"""
+
+
+def q_kg_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (the first structural statistic of any
+    web/link graph): fraction of directed edges whose reverse edge
+    exists, in integer basis points.  The fixture directs the strong
+    co-mention pairs by hash — forward when h%3==0, backward when
+    h%5==0, so pairs with h%15==0 carry both directions.  One
+    self-semi-join on the reversed key + two single-row counts."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+
+    c = (
+        q_kg_cooccurrence_edges(spark, sf_dir)
+        .withColumn(
+            "__h", hash60(F.concat_ws(" ", F.col("src"), F.col("dst")))
+        )
+        .localCheckpoint(eager=False)
+    )
+    fwd = c.filter(F.col("__h") % 3 == 0).select("src", "dst")
+    bwd = c.filter(F.col("__h") % 5 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    e = fwd.unionAll(bwd).localCheckpoint(eager=False)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_rec = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(n_rec)
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr("(10000 * n_reciprocal) div n_edges").alias(
+                "reciprocity_bp"
+            ),
+        )
+    )
+
+
+def _sql_reciprocity(cooc_sql: str) -> str:
+    h = "('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT"
+    return f"""
+    with c as (select term_a, term_b, {h} as h from ({cooc_sql})
+               where n_docs >= {_PR_MIN_DOCS}),
+    e as (select term_a as src, term_b as dst from c where h % 3 = 0
+          union all
+          select term_b, term_a from c where h % 5 = 0),
+    r as (select e.src, e.dst from e
+          semi join e rev on e.src = rev.dst and e.dst = rev.src)
+    select (select count(*) from e) as n_edges,
+           (select count(*) from r) as n_reciprocal,
+           (10000 * (select count(*) from r))
+               // (select count(*) from e) as reciprocity_bp
+"""
+
+
 def q_kg_canonical_triples(spark, sf_dir):
     """sameAs smushing under the gate (web/canonicalize.py::
     rewrite_triples): equivalence edges = the hash-sparsified strong
@@ -1581,18 +1687,27 @@ def _sql_ppr(cooc_sql: str) -> str:
 # at sf0.01.
 _SHACL_SHAPES = [
     {"predicate": ":mentions", "min_count": 2, "node_prefix": ":"},
-    {"predicate": ":mentionsOften", "max_count": 2, "not_in": (":Spark",)},
+    {
+        "predicate": ":mentionsOften",
+        "max_count": 2,
+        "not_in": (":Spark",),
+        "object_class": ":Entity",
+    },
 ]
 
 
 def q_kg_shacl_report(spark, sf_dir):
     """SHACL-lite validation report (web/shapes.py::validate_shapes)
-    over the two-predicate doc fixture: one violation row per broken
-    constraint — cardinality checks as ONE (subject, predicate)
-    aggregation, value checks as shuffle-free row-local scans."""
+    over the typed doc fixture: one violation row per broken constraint
+    — cardinality checks as ONE (subject, predicate) aggregation, value
+    checks as shuffle-free row-local scans, sh:class as a left-anti
+    join against the fixture's (deliberately incomplete) rdf:type
+    slice."""
     from mhdb_tables2turtles_spark.web.shapes import validate_shapes
 
-    return validate_shapes(_often_triples(spark, sf_dir), _SHACL_SHAPES)
+    return validate_shapes(
+        _often_triples(spark, sf_dir, with_types=True), _SHACL_SHAPES
+    )
 
 
 def _sql_shacl(mentions_sql: str) -> str:
@@ -1628,6 +1743,14 @@ def _sql_shacl(mentions_sql: str) -> str:
     union all
     select distinct subject, ':mentionsOften', 'in', object
     from t where predicate = ':mentionsOften' and object = ':Spark'
+    union all
+    select distinct subject, ':mentionsOften', 'class', object
+    from t
+    where predicate = ':mentionsOften'
+      and object not in (
+        select distinct {_SQL_TERM_IRI} from m
+        where ('0x'||substr(md5(term),1,15))::BIGINT % 3 != 0
+      )
 """
 
 
@@ -1664,6 +1787,8 @@ GRAPH_QUERIES = {
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_hits": q_kg_hits,
     "kg_void_stats": q_kg_void_stats,
+    "kg_rule_support": q_kg_rule_support,
+    "kg_reciprocity": q_kg_reciprocity,
 }
 
 
@@ -1705,4 +1830,6 @@ def graph_oracles(
         ),
         "kg_hits": _sql_hits(cooc_sql),
         "kg_void_stats": _sql_void_stats(cooc_sql, triples_sql),
+        "kg_rule_support": _sql_rule_support(cooc_sql, triples_sql),
+        "kg_reciprocity": _sql_reciprocity(cooc_sql),
     }

@@ -16,7 +16,8 @@ A shape is a plain dict::
      "min_count": 1,                # sh:minCount   (optional)
      "max_count": 5,                # sh:maxCount   (optional)
      "node_prefix": ":",            # value must start with (optional)
-     "not_in": (":Forbidden",)}     # sh:in complement (optional)
+     "not_in": (":Forbidden",),     # sh:in complement (optional)
+     "object_class": ":Entity"}     # sh:class (optional; see below)
 
 Plan shape — the part that must survive 10^12 triples:
 
@@ -31,6 +32,11 @@ Plan shape — the part that must survive 10^12 triples:
 * Value checks (``node_prefix`` / ``not_in``) never shuffle at all:
   each is a predicate-filtered row-local scan emitting one violation
   row per offending value.
+* ``object_class`` (sh:class: every value of the predicate must carry
+  an ``rdf:type`` of the given class) is the one JOIN-based constraint:
+  a left-ANTI join of the predicate's values against the type slice —
+  the typed-entity side is predicate-filtered (``a`` rows only) before
+  it joins, and only the distinct conforming keys shuffle.
 * The report is the union of per-shape violation sets — column-aligned
   appends, no shuffle.
 """
@@ -52,15 +58,18 @@ def validate_shapes(
     triples: DataFrame,
     shapes: Sequence[Mapping],
     targets: DataFrame | None = None,
+    type_pred: str = "a",
 ) -> DataFrame:
     """Violation report ``(focus, predicate, component, value)`` for
     every shape constraint broken in ``triples`` — empty means the
     graph conforms.
 
     ``component`` names the violated SHACL constraint component
-    (``minCount`` / ``maxCount`` / ``nodeKind`` / ``in``); ``value`` is
-    the offending cardinality (as a string, for a uniform column type)
-    or the offending object value.  ``targets`` optionally narrows the
+    (``minCount`` / ``maxCount`` / ``nodeKind`` / ``in`` / ``class``);
+    ``value`` is the offending cardinality (as a string, for a uniform
+    column type) or the offending object value.  ``object_class``
+    checks against the ``type_pred`` slice of the SAME triple table
+    (sh:class — every object must carry that rdf:type).  ``targets`` optionally narrows the
     focus-node universe (e.g. subjects of one ``rdf:type``, SHACL's
     ``sh:targetClass``) as a one-column ``focus`` DataFrame; the
     default universe is every distinct subject of the constrained
@@ -72,6 +81,12 @@ def validate_shapes(
         raise ValueError("validate_shapes needs at least one shape")
     preds = sorted({s["predicate"] for s in shapes})
     base = triples.filter(F.col("predicate").isin(*preds))
+    typed = None
+    if any(s.get("object_class") for s in shapes):
+        typed = triples.filter(F.col("predicate") == type_pred).select(
+            F.col("subject").alias("__ent"),
+            F.col("object").alias("__cls"),
+        )
 
     if targets is None:
         focus = base.select(F.col("subject").alias("focus")).distinct()
@@ -151,6 +166,21 @@ def validate_shapes(
                     F.col("object").alias("value"),
                 )
                 .distinct()
+            )
+        if s.get("object_class"):
+            conforming = typed.filter(
+                F.col("__cls") == s["object_class"]
+            ).select(F.col("__ent").alias("object"))
+            reports.append(
+                rows.select("subject", "object")
+                .distinct()
+                .join(conforming, "object", "left_anti")
+                .select(
+                    F.col("subject").alias("focus"),
+                    F.lit(s["predicate"]).alias("predicate"),
+                    F.lit("class").alias("component"),
+                    F.col("object").alias("value"),
+                )
             )
 
     if not reports:

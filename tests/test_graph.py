@@ -1052,3 +1052,21 @@ def test_hits_hub_authority_separation(spark):
     assert got["h1"][0] == got["h2"][0] > got["h3"][0] > 0
     # no overflow on this fixture
     assert all(h >= 0 and a >= 0 for h, a in got.values())
+
+
+def test_validate_shapes_object_class(spark):
+    from mhdb_tables2turtles_spark.web.shapes import validate_shapes
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d1", ":m", ":B"),
+            (":d2", ":m", ":A"),
+            (":A", "a", ":Entity"),     # :A typed, :B not
+            (":B", "a", ":Other"),      # wrong class still violates
+        ],
+        ["subject", "predicate", "object"],
+    )
+    shapes = [{"predicate": ":m", "object_class": ":Entity"}]
+    got = {tuple(r) for r in validate_shapes(t, shapes).collect()}
+    assert got == {(":d1", ":m", "class", ":B")}
