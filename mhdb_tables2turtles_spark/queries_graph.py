@@ -1754,6 +1754,166 @@ def _sql_shacl(mentions_sql: str) -> str:
 """
 
 
+# ontology for the OWL property-closure fixture: one inverse pair, one
+# symmetric property, one transitive property — each driven by a
+# different hash residue of the strong co-mention pairs so all three
+# OWL 2 RL property rules fire at sf0.01.
+_OWL_ONTOLOGY = [
+    (":linksTo", "owl:inverseOf", ":linkedFrom"),
+    (":relatedTo", "a", "owl:SymmetricProperty"),
+    (":narrowerThan", "a", "owl:TransitiveProperty"),
+]
+
+
+def q_kg_owl_closure(spark, sf_dir):
+    """OWL 2 RL property-rule materialization (web/inference.py::
+    owl_property_closure) over a three-predicate fixture directed by
+    hash residues: ``:linksTo`` (h%3) gains its declared inverse
+    ``:linkedFrom``, ``:relatedTo`` (h%5) mirrors as a symmetric
+    property, and the lexicographically-directed (hence acyclic)
+    ``:narrowerThan`` slice (h%2, src < dst) closes transitively —
+    all driven by the owl: declarations INSIDE the triple table."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.inference import owl_property_closure
+
+    c = (
+        q_kg_cooccurrence_edges(spark, sf_dir)
+        .withColumn(
+            "__h", hash60(F.concat_ws(" ", F.col("src"), F.col("dst")))
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def mint(df, pred):
+        return df.select(
+            F.col("src").alias("subject"),
+            F.lit(pred).alias("predicate"),
+            F.col("dst").alias("object"),
+        )
+
+    links = mint(c.filter(F.col("__h") % 3 == 0), ":linksTo")
+    rel = mint(c.filter(F.col("__h") % 5 == 0), ":relatedTo")
+    nar = mint(
+        c.filter((F.col("__h") % 2 == 0) & (F.col("src") < F.col("dst"))),
+        ":narrowerThan",
+    )
+    onto = spark.createDataFrame(
+        _OWL_ONTOLOGY, ["subject", "predicate", "object"]
+    )
+    return owl_property_closure(
+        links.unionByName(rel).unionByName(nar).unionByName(onto)
+    )
+
+
+def _sql_owl_closure(cooc_sql: str) -> str:
+    h = "('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT"
+    return f"""
+    with recursive c as (
+        select term_a as s, term_b as o, {h} as h
+        from ({cooc_sql}) where n_docs >= {_PR_MIN_DOCS}),
+    links as (select s, o from c where h % 3 = 0),
+    rel as (select s, o from c where h % 5 = 0),
+    nar as (select s, o from c where h % 2 = 0 and s < o),
+    narc(s, o) as (
+        select s, o from nar
+        union
+        select n.s, e.o from narc n join nar e on n.o = e.s
+    ),
+    allt as (
+        select s as subject, ':linksTo' as predicate, o as object
+        from links
+        union all select o, ':linkedFrom', s from links
+        union all select s, ':relatedTo', o from rel
+        union all select o, ':relatedTo', s from rel
+        union all select s, ':narrowerThan', o from narc
+        union all select ':linksTo', 'owl:inverseOf', ':linkedFrom'
+        union all select ':relatedTo', 'a', 'owl:SymmetricProperty'
+        union all select ':narrowerThan', 'a', 'owl:TransitiveProperty'
+    )
+    select distinct subject, predicate, object from allt
+"""
+
+
+_AGG_MIN_DOCS = 4  # HAVING threshold for the SPARQL-aggregation query
+
+
+def q_kg_group_agg(spark, sf_dir):
+    """SPARQL aggregation (web/kgquery.py::group_solutions) composed
+    with the BGP compiler: ``SELECT ?ent (COUNT(?doc) AS n_docs)
+    (MIN(?doc) AS sample_doc) WHERE {{ ?doc :mentions ?ent }} GROUP BY
+    ?ent HAVING (COUNT(?doc) >= 4)`` — the canonical SPARQL 1.1
+    analytics shape, compiled to ONE aggregation (set-semantics
+    bindings make COUNT a distinct count for free)."""
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        compile_bgp,
+        group_solutions,
+    )
+
+    b = compile_bgp(
+        _often_triples(spark, sf_dir), [("?doc", ":mentions", "?ent")]
+    )
+    return group_solutions(
+        b,
+        ["ent"],
+        {"n_docs": "count(doc)", "sample_doc": "min(doc)"},
+        having=f"n_docs >= {_AGG_MIN_DOCS}",
+    )
+
+
+def _sql_group_agg(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    b as (select distinct {_SQL_DOC_IRI} as doc, {_SQL_TERM_IRI} as ent
+          from m)
+    select ent, count(doc) as n_docs, min(doc) as sample_doc
+    from b group by ent having count(doc) >= {_AGG_MIN_DOCS}
+"""
+
+
+def q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011 — the
+    standard RDF cardinality-estimation statistic): for each subject
+    its sorted distinct-predicate set, then subjects and triples per
+    set.  Two aggregations — subject-keyed (uniform: doc/entity IRIs),
+    then set-keyed (a handful of distinct sets) — exactly the summary
+    a SPARQL optimizer precomputes once per snapshot at 10^12 rows."""
+    t = _often_triples(spark, sf_dir, with_types=True)
+    per_subj = t.groupBy("subject").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("predicate"))
+        ).alias("char_set"),
+        F.count("*").alias("__n"),
+    )
+    return per_subj.groupBy("char_set").agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("__n").cast("long").alias("n_triples"),
+    )
+
+
+def _sql_char_sets(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    t as (
+        select {_SQL_DOC_IRI} as subject, ':mentions' as predicate,
+               {_SQL_TERM_IRI} as object from m
+        union all
+        select {_SQL_DOC_IRI}, ':mentionsOften', {_SQL_TERM_IRI}
+        from m where n >= {_OFTEN_MIN_N}
+        union all
+        select distinct {_SQL_TERM_IRI}, 'a', ':Entity' from m
+        where ('0x'||substr(md5(term),1,15))::BIGINT % 3 != 0
+    ),
+    s1 as (select distinct subject, predicate from t),
+    s2 as (select subject,
+                  string_agg(predicate, ',' order by predicate) as char_set
+           from s1 group by subject),
+    cnt as (select subject, count(*) as n from t group by subject)
+    select char_set, count(*) as n_subjects,
+           cast(sum(n) as bigint) as n_triples
+    from s2 join cnt using (subject) group by char_set
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -1789,6 +1949,9 @@ GRAPH_QUERIES = {
     "kg_void_stats": q_kg_void_stats,
     "kg_rule_support": q_kg_rule_support,
     "kg_reciprocity": q_kg_reciprocity,
+    "kg_owl_closure": q_kg_owl_closure,
+    "kg_group_agg": q_kg_group_agg,
+    "kg_char_sets": q_kg_char_sets,
 }
 
 
@@ -1832,4 +1995,7 @@ def graph_oracles(
         "kg_void_stats": _sql_void_stats(cooc_sql, triples_sql),
         "kg_rule_support": _sql_rule_support(cooc_sql, triples_sql),
         "kg_reciprocity": _sql_reciprocity(cooc_sql),
+        "kg_owl_closure": _sql_owl_closure(cooc_sql),
+        "kg_group_agg": _sql_group_agg(mentions_sql),
+        "kg_char_sets": _sql_char_sets(mentions_sql),
     }

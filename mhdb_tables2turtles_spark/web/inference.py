@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["transitive_closure", "rdfs_closure"]
+__all__ = ["transitive_closure", "rdfs_closure", "owl_property_closure"]
 
 
 def transitive_closure(
@@ -142,3 +142,113 @@ def rdfs_closure(
         .unionByName(inherited)
         .distinct()
     )
+
+
+def owl_property_closure(
+    triples: DataFrame,
+    type_pred: str = "a",
+    inverse_pred: str = "owl:inverseOf",
+    symmetric_class: str = "owl:SymmetricProperty",
+    transitive_class: str = "owl:TransitiveProperty",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """OWL 2 RL property-rule materialization: the input graph plus
+    every triple entailed by rules prp-inv1/prp-inv2 (``p owl:inverseOf
+    q . x p y ⇒ y q x`` and vice versa), prp-symp (``p a
+    owl:SymmetricProperty . x p y ⇒ y p x``) and prp-trp (``p a
+    owl:TransitiveProperty . x p y . y p z ⇒ x p z``), driven entirely
+    by the ontology declarations INSIDE the triple table — the same
+    self-describing posture as :func:`rdfs_closure` (reference
+    mhdb/write_ttl.py emits owl:ObjectProperty rows; a store-side
+    consumer expects their OWL semantics materialized).
+
+    Evaluation order (a true fixpoint, not an approximation): the
+    row-local rules (inverse + symmetric) iterate to their own fixpoint
+    first, then each declared transitive predicate's edge slice runs
+    one semi-naive :func:`transitive_closure`, then the row-local rules
+    run to fixpoint once more.  That suffices because closure commutes
+    with edge reversal: a transitive predicate's inverse (or its own
+    symmetric re-orientation) of a CLOSED edge set is already closed,
+    so no further transitive round can derive anything new.
+
+    Scale posture: the ontology slices (inverse pairs, symmetric /
+    transitive property lists) are predicate-filtered, ontology-sized,
+    and broadcast; every instance-scale derivation is one broadcast
+    semi/inner join + a column swap (zero shuffle beyond the final
+    distinct).  The per-predicate transitive loops join ontology-
+    declared slices only — the driver-side list of transitive
+    predicates is ontology metadata (dozens, not data-scale), the one
+    intentional ``collect`` here.  The row-local fixpoint is bounded by
+    the property meta-graph's diameter (≤ 2 in any real ontology);
+    ``max_rounds`` guards pathological inputs loudly.
+    """
+    t = triples.select("subject", "predicate", "object")
+    inv = t.filter(F.col("predicate") == inverse_pred).select(
+        F.col("subject").alias("__p"), F.col("object").alias("__q")
+    )
+    # inverseOf is itself symmetric (prp-inv2): close the pair set
+    inv = inv.unionByName(
+        inv.select(F.col("__q").alias("__p"), F.col("__p").alias("__q"))
+    ).distinct()
+    sym = t.filter(
+        (F.col("predicate") == type_pred)
+        & (F.col("object") == symmetric_class)
+    ).select(F.col("subject").alias("__p"))
+    trans = t.filter(
+        (F.col("predicate") == type_pred)
+        & (F.col("object") == transitive_class)
+    ).select(F.col("subject").alias("__p"))
+
+    def rowlocal_fixpoint(graph: DataFrame) -> DataFrame:
+        graph = graph.localCheckpoint(eager=False)
+        delta = graph
+        for _ in range(max_rounds):
+            inversed = delta.join(
+                F.broadcast(inv), delta["predicate"] == inv["__p"]
+            ).select(
+                F.col("object").alias("subject"),
+                F.col("__q").alias("predicate"),
+                F.col("subject").alias("object"),
+            )
+            mirrored = delta.join(
+                F.broadcast(sym), delta["predicate"] == sym["__p"]
+            ).select(
+                F.col("object").alias("subject"),
+                "predicate",
+                F.col("subject").alias("object"),
+            )
+            new = (
+                inversed.unionByName(mirrored)
+                .distinct()
+                .join(
+                    graph,
+                    ["subject", "predicate", "object"],
+                    "left_anti",
+                )
+                .localCheckpoint(eager=False)
+            )
+            if new.isEmpty():
+                return graph
+            graph = graph.unionByName(new).localCheckpoint(eager=False)
+            delta = new
+        raise RuntimeError(
+            f"owl_property_closure: row-local rules did not converge in "
+            f"{max_rounds} rounds — cyclic inverseOf meta-graph?"
+        )
+
+    graph = rowlocal_fixpoint(t)
+    trans_preds = [r[0] for r in trans.distinct().collect()]  # ontology-sized
+    for p in sorted(trans_preds):
+        edges = graph.filter(F.col("predicate") == p).select(
+            F.col("subject").alias("src"), F.col("object").alias("dst")
+        )
+        closed = transitive_closure(edges).select(
+            F.col("src").alias("subject"),
+            F.lit(p).alias("predicate"),
+            F.col("dst").alias("object"),
+        )
+        graph = graph.unionByName(closed)
+    graph = graph.distinct()
+    if trans_preds:
+        graph = rowlocal_fixpoint(graph)
+    return graph

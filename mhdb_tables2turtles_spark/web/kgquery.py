@@ -36,6 +36,7 @@ __all__ = [
     "bgp_union",
     "compile_bgp",
     "construct",
+    "group_solutions",
     "property_table",
     "triple_diff",
     "latest_state",
@@ -445,3 +446,37 @@ def latest_state(
     return picked.select(
         *keys, *[F.col(f"__last.{c}").alias(c) for c in value_cols]
     )
+
+
+def group_solutions(
+    solutions: DataFrame,
+    group_by: Sequence[str],
+    aggregates: "dict[str, str]",
+    having: str | None = None,
+) -> DataFrame:
+    """SPARQL aggregation over a compiled solution set: ``GROUP BY`` the
+    given variables, compute each ``alias -> SQL aggregate expression``
+    pair (SPARQL's COUNT / SUM / MIN / MAX / AVG / SAMPLE /
+    GROUP_CONCAT all map onto Spark SQL aggregates over the variable
+    columns), and optionally apply a ``HAVING`` boolean that may
+    reference both group keys and aggregate aliases.
+
+    Composes with :func:`compile_bgp`: BGP solutions are a set (SPARQL
+    default), so ``count(var)`` counts distinct bindings without a
+    further DISTINCT.
+
+    Plan shape: ONE aggregation — Catalyst partial-aggregates map-side
+    before the single group-key shuffle, and HAVING evaluates post-
+    aggregation on already-reduced rows (group keys in a web KG are
+    entity-scale and near-uniform, so the shuffle inherits AQE's skew
+    handling).  No window, no self-join — the textbook SPARQL-algebra
+    translation (project + group) stays a single Exchange.
+    """
+    if not group_by:
+        raise ValueError("group_solutions needs at least one group key")
+    if not aggregates:
+        raise ValueError("group_solutions needs at least one aggregate")
+    out = solutions.groupBy(*group_by).agg(
+        *[F.expr(expr).alias(name) for name, expr in aggregates.items()]
+    )
+    return out.filter(F.expr(having)) if having else out

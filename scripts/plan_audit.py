@@ -69,6 +69,14 @@ AUDIT = (
     "kg_shacl_report",
     "kg_ppr",
     "kg_canonical_triples",
+    # round-4c: link analysis, dataset stats, provenance, structure
+    "kg_hits",
+    "kg_void_stats",
+    "kg_rule_support",
+    "kg_reciprocity",
+    "kg_owl_closure",
+    "kg_group_agg",
+    "kg_char_sets",
 )
 
 CHECKS = {
@@ -146,6 +154,24 @@ CHECKS = {
     "kg_ppr": ["Scan ExistingRDD"],
     # the canonical map applies as two broadcast left joins
     "kg_canonical_triples": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # power iterations checkpoint per round → final plan is a scan
+    "kg_hits": ["Scan ExistingRDD"],
+    # VoID stats are ONE predicate-keyed aggregation over the triple
+    # fixture (whose construction joins; the stats themselves add none)
+    "kg_void_stats": ["HashAggregate", "!CartesianProduct"],
+    # witness counting aggregates the BGP binding set; the binding
+    # joins are hash joins, never cartesian
+    "kg_rule_support": ["HashAggregate", "!CartesianProduct"],
+    # reciprocity = reversed-key self-semi-join + two 1-row counts;
+    # the only nested-loop is the intended 1-row × 1-row crossJoin
+    "kg_reciprocity": ["LeftSemi", "!CartesianProduct"],
+    # rule fixpoints checkpoint per round → final plan is a scan
+    "kg_owl_closure": ["Scan ExistingRDD"],
+    # SPARQL GROUP BY/HAVING compiles to ONE aggregation, no window
+    "kg_group_agg": ["HashAggregate", "!Window", "!CartesianProduct"],
+    # two chained aggregations (subject-keyed, then set-keyed); the
+    # string-set buffer makes Catalyst pick SortAggregate — match either
+    "kg_char_sets": ["Aggregate", "!Window", "!CartesianProduct"],
 }
 
 

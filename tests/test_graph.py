@@ -1070,3 +1070,114 @@ def test_validate_shapes_object_class(spark):
     shapes = [{"predicate": ":m", "object_class": ":Entity"}]
     got = {tuple(r) for r in validate_shapes(t, shapes).collect()}
     assert got == {(":d1", ":m", "class", ":B")}
+
+
+def test_owl_property_closure_rules(spark):
+    from mhdb_tables2turtles_spark.web.inference import owl_property_closure
+
+    t = spark.createDataFrame(
+        [
+            # ontology
+            (":p", "owl:inverseOf", ":q"),
+            (":r", "a", "owl:SymmetricProperty"),
+            (":n", "a", "owl:TransitiveProperty"),
+            # instance: p/q inverses (one each way), r symmetric,
+            # n a 3-chain
+            (":a", ":p", ":b"),
+            (":c", ":q", ":d"),   # prp-inv2: derive (:d :p :c)
+            (":x", ":r", ":y"),
+            (":u", ":n", ":v"),
+            (":v", ":n", ":w"),
+            (":w", ":n", ":z"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {tuple(r) for r in owl_property_closure(t).collect()}
+    # every input triple survives
+    assert {tuple(r) for r in t.collect()} <= got
+    derived = got - {tuple(r) for r in t.collect()}
+    assert derived == {
+        (":b", ":q", ":a"),      # prp-inv1
+        (":d", ":p", ":c"),      # prp-inv2
+        (":y", ":r", ":x"),      # prp-symp
+        (":u", ":n", ":w"),      # prp-trp (1 hop x 2)
+        (":v", ":n", ":z"),
+        (":u", ":n", ":z"),      # prp-trp (2 hops)
+    }
+
+
+def test_owl_property_closure_inverse_of_transitive(spark):
+    """q = inverse(p), p transitive: q edges derived via the inverse
+    rule must themselves be closed (reverse of the closed p set)."""
+    from mhdb_tables2turtles_spark.web.inference import owl_property_closure
+
+    t = spark.createDataFrame(
+        [
+            (":p", "owl:inverseOf", ":q"),
+            (":p", "a", "owl:TransitiveProperty"),
+            (":a", ":p", ":b"),
+            (":b", ":p", ":c"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {tuple(r) for r in owl_property_closure(t).collect()}
+    assert (":a", ":p", ":c") in got          # closure
+    assert (":c", ":q", ":a") in got          # inverse of the closure
+    assert (":b", ":q", ":a") in got and (":c", ":q", ":b") in got
+
+
+def test_owl_property_closure_symmetric_transitive(spark):
+    """p symmetric AND transitive: closure over the symmetric edge set
+    makes a connected chain mutually reachable (incl. self-loops via
+    the back edge, per prp-trp semantics x p y . y p x => x p x)."""
+    from mhdb_tables2turtles_spark.web.inference import owl_property_closure
+
+    t = spark.createDataFrame(
+        [
+            (":p", "a", "owl:SymmetricProperty"),
+            (":p", "a", "owl:TransitiveProperty"),
+            (":a", ":p", ":b"),
+            (":b", ":p", ":c"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {tuple(r) for r in owl_property_closure(t).collect()}
+    nodes = (":a", ":b", ":c")
+    for s in nodes:
+        for o in nodes:
+            if s != o:
+                assert (s, ":p", o) in got, (s, o)
+
+
+def test_group_solutions_having(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        compile_bgp,
+        group_solutions,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":m", ":A"),
+            (":d2", ":m", ":A"),
+            (":d2", ":m", ":A"),  # duplicate triple — set semantics
+            (":d3", ":m", ":A"),
+            (":d1", ":m", ":B"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    b = compile_bgp(t, [("?doc", ":m", "?ent")])
+    out = group_solutions(
+        b,
+        ["ent"],
+        {"n_docs": "count(doc)", "sample_doc": "min(doc)"},
+        having="n_docs >= 2",
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(":A", 3, ":d1")}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        group_solutions(b, [], {"n": "count(doc)"})
+    with pytest.raises(ValueError):
+        group_solutions(b, ["ent"], {})
