@@ -107,6 +107,17 @@ BENCH_QUERIES = (
     "kg_shacl_report",
     "kg_ppr",
     "kg_canonical_triples",
+    # round-4c: link analysis, dataset stats, provenance, OWL, stats
+    "kg_hits",
+    "kg_void_stats",
+    "kg_rule_support",
+    "kg_reciprocity",
+    "kg_owl_closure",
+    "kg_group_agg",
+    "kg_char_sets",
+    "kg_path_query",
+    "kg_bgp_optimized",
+    "kg_describe",
 )
 
 

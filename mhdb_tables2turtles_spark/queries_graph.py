@@ -1914,6 +1914,124 @@ def _sql_char_sets(mentions_sql: str) -> str:
 """
 
 
+def q_kg_path_query(spark, sf_dir):
+    """SPARQL 1.1 property-path evaluation (web/paths.py::eval_path):
+    the path ``:mentions/:coOccursWith?`` — every doc paired with each
+    entity it mentions OR a strong co-occurrent of one — exercising the
+    sequence and zero-or-one combinators (the zero-length identity
+    composes away inside a sequence, per the spec's path algebra)."""
+    from mhdb_tables2turtles_spark.web.paths import (
+        eval_path,
+        pred,
+        seq,
+        zero_or_one,
+    )
+
+    t = _mention_plus_cooc_triples(spark, sf_dir)
+    return eval_path(
+        t, seq(pred(":mentions"), zero_or_one(pred(":coOccursWith")))
+    )
+
+
+def _sql_path_query(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    p as (select distinct subject as d, object as e from t
+          where predicate = ':mentions')
+    select distinct src, dst from (
+        select d as src, e as dst from p
+        union all
+        select p.d, ee.o from p join ee on p.e = ee.s
+    )
+"""
+
+
+def q_kg_bgp_optimized(spark, sf_dir):
+    """Selectivity-ordered BGP (web/kgquery.py::compile_bgp_optimized):
+    the triangle query ``?d :mentions ?e . ?e :coOccursWith ?e2 .
+    ?d :mentions ?e2`` — docs mentioning BOTH ends of a strong
+    co-occurrence edge — written in its WORST order (instance-scale
+    :mentions patterns first) and handed to the cost-based pre-pass,
+    which reorders by predicate counts so the much smaller
+    :coOccursWith pattern anchors the join tree.  Result set is
+    order-independent, so the oracle is the plain relational join; the
+    physical reorder itself is asserted in tests/test_graph.py."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp_optimized
+
+    triples = _mention_plus_cooc_triples(spark, sf_dir)
+    out = compile_bgp_optimized(
+        triples,
+        [
+            ("?d", ":mentions", "?e"),
+            ("?d", ":mentions", "?e2"),
+            ("?e", ":coOccursWith", "?e2"),
+        ],
+    )
+    return out.select("d", "e", "e2")
+
+
+def _sql_bgp_optimized(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    p as (select distinct subject as d, object as e from t
+          where predicate = ':mentions')
+    select distinct p1.d, p1.e, ee.o as e2
+    from p p1
+    join ee on p1.e = ee.s
+    join p p2 on p2.d = p1.d and p2.e = ee.o
+"""
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (web/kgquery.py::describe): the Concise Bounded
+    Description, 2 hops, of every entity strongly co-occurring with
+    :Spark — the 'entity card' query a KG consumer renders.  Each hop
+    is a frontier-proportional left-semi join; the focus set broadcasts
+    while small."""
+    from mhdb_tables2turtles_spark.web.kgquery import describe
+
+    t = _mention_plus_cooc_triples(spark, sf_dir)
+    focus = (
+        t.filter(
+            (F.col("subject") == ":Spark")
+            & (F.col("predicate") == ":coOccursWith")
+        )
+        .select(F.col("object").alias("node"))
+        .distinct()
+    )
+    return describe(t, focus, hops=2)
+
+
+def _sql_describe(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    tt as (select subject, predicate, object from t
+           union all
+           select s, ':coOccursWith', o from ee),
+    f0 as (select distinct o as node from ee where s = ':Spark'),
+    d1 as (select tt.* from tt join f0 on tt.subject = f0.node),
+    f1 as (select distinct object as node from d1),
+    d2 as (select tt.* from tt join f1 on tt.subject = f1.node)
+    select distinct subject, predicate, object from
+    (select * from d1 union all select * from d2)
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -1952,6 +2070,9 @@ GRAPH_QUERIES = {
     "kg_owl_closure": q_kg_owl_closure,
     "kg_group_agg": q_kg_group_agg,
     "kg_char_sets": q_kg_char_sets,
+    "kg_path_query": q_kg_path_query,
+    "kg_bgp_optimized": q_kg_bgp_optimized,
+    "kg_describe": q_kg_describe,
 }
 
 
@@ -1998,4 +2119,7 @@ def graph_oracles(
         "kg_owl_closure": _sql_owl_closure(cooc_sql),
         "kg_group_agg": _sql_group_agg(mentions_sql),
         "kg_char_sets": _sql_char_sets(mentions_sql),
+        "kg_path_query": _sql_path_query(cooc_sql, triples_sql),
+        "kg_bgp_optimized": _sql_bgp_optimized(cooc_sql, triples_sql),
+        "kg_describe": _sql_describe(cooc_sql, triples_sql),
     }

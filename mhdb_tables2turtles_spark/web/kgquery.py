@@ -35,8 +35,12 @@ __all__ = [
     "bgp_optional",
     "bgp_union",
     "compile_bgp",
+    "compile_bgp_optimized",
     "construct",
+    "describe",
     "group_solutions",
+    "order_bgp",
+    "predicate_counts",
     "property_table",
     "triple_diff",
     "latest_state",
@@ -268,6 +272,117 @@ def compile_bgp(
     return out.distinct() if distinct else out
 
 
+def predicate_counts(
+    triples: DataFrame, predicate_col: str = "predicate"
+) -> "dict[str, int]":
+    """Triple count per predicate — the one-line VoID statistic every
+    cost-based triple-store optimizer keeps (it is also the partition
+    row count on the predicate-partitioned layout of web/store.py, so
+    on a real catalog it reads from table metadata instead of a scan).
+    The collect is predicate-cardinality-sized: dozens-to-thousands of
+    rows in a web KG, never instance-scale."""
+    return {
+        r["p"]: r["n"]
+        for r in triples.groupBy(F.col(predicate_col).alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _bgp_cost(pat: "tuple[str, str, str]", stats: "dict[str, int]", total: int) -> int:
+    """Estimated binding count of one pattern: the predicate's triple
+    count when the predicate is literal (unknown predicate -> 0 rows),
+    else the table total; each further bound subject/object literal
+    cuts the estimate by 10x (the classic fixed-selectivity heuristic —
+    exact s/o histograms are what characteristic sets refine, but the
+    predicate count alone already separates patterns by orders of
+    magnitude in a heavy-tailed KG)."""
+    s, p, o = pat
+    card = total if p.startswith("?") else stats.get(p, 0)
+    for term in (s, o):
+        if not term.startswith("?"):
+            card //= 10
+    return card
+
+
+def order_bgp(
+    patterns: Sequence["tuple[str, str, str]"],
+    stats: "dict[str, int]",
+    total: int | None = None,
+) -> "list[tuple[str, str, str]]":
+    """Greedy selectivity join ordering for a BGP: start from the
+    cheapest pattern, then repeatedly take the cheapest pattern that
+    shares a variable with the bound set (connected joins stay
+    equi-joins); a disconnected pattern is taken only when nothing
+    connected remains (the unavoidable SPARQL cartesian case).
+    Deterministic: ties break on input position.
+
+    This is the textbook triple-store planner (RDF-3X's selectivity
+    ordering over exact predicate counts) expressed as a pre-pass over
+    :func:`compile_bgp`'s given-order compilation — Catalyst reorders
+    join STRATEGY (broadcast vs shuffle, via AQE) but not multi-way
+    join ORDER across the lazily-built tree, so pattern order is the
+    one planning decision left to this layer.
+    """
+    if total is None:
+        total = max(sum(stats.values()), 1)
+    pats = list(patterns)
+    if not pats:
+        return pats
+
+    def pat_vars(pat):
+        return {t[1:] for t in pat if t.startswith("?") and len(t) > 1}
+
+    costs = {i: _bgp_cost(pats[i], stats, total) for i in range(len(pats))}
+
+    # connected components over shared variables: each component orders
+    # independently (cheapest pattern anchors, then always a connected
+    # pattern), and components concatenate cheapest-anchor-first — so
+    # the only cross joins compile_bgp emits are between FULLY-REDUCED
+    # component results at component boundaries, never mid-component
+    remaining = set(range(len(pats)))
+    components: "list[list[int]]" = []
+    while remaining:
+        seed = min(
+            remaining, key=lambda i: (costs[i], i)
+        )  # component anchor = its cheapest pattern
+        comp = [seed]
+        remaining.remove(seed)
+        bound = pat_vars(pats[seed])
+        while True:
+            connected = [i for i in remaining if pat_vars(pats[i]) & bound]
+            if not connected:
+                break
+            nxt = min(connected, key=lambda i: (costs[i], i))
+            comp.append(nxt)
+            remaining.remove(nxt)
+            bound |= pat_vars(pats[nxt])
+        components.append(comp)
+    # components came out anchored-cheapest-first already (each seed was
+    # the global min of what remained)
+    return [pats[i] for comp in components for i in comp]
+
+
+def compile_bgp_optimized(
+    triples: DataFrame,
+    patterns: Sequence["tuple[str, str, str]"],
+    stats: "dict[str, int] | None" = None,
+    **kwargs,
+) -> DataFrame:
+    """:func:`compile_bgp` behind :func:`order_bgp`: reorder the
+    required block by estimated selectivity before compiling.  Only the
+    required ``patterns`` reorder — OPTIONAL/MINUS blocks keep their
+    SPARQL-mandated evaluation position.  ``stats`` defaults to one
+    :func:`predicate_counts` pass over the table (metadata-cheap on a
+    predicate-partitioned store).  Result set is order-independent, so
+    this is a pure physical optimization — the driver oracle for it is
+    the same SQL as the naive ordering."""
+    if stats is None:
+        stats = predicate_counts(triples)
+    ordered = order_bgp(patterns, stats)
+    return compile_bgp(triples, ordered, **kwargs)
+
+
 def bgp_union(
     triples: DataFrame,
     blocks: Sequence[Sequence[tuple[str, str, str]]],
@@ -351,6 +466,37 @@ def construct(
     out = parts[0]
     for more in parts[1:]:
         out = out.unionAll(more)
+    return out.distinct()
+
+
+def describe(
+    triples: DataFrame,
+    focus: DataFrame,
+    hops: int = 1,
+) -> DataFrame:
+    """SPARQL DESCRIBE as a Concise Bounded Description: every triple
+    whose subject is a focus node, expanded ``hops`` levels through
+    OBJECT links (the CBD's blank-node-closure generalized to an
+    IRI-hop bound — this KG skolemizes everything, so a fixed hop bound
+    replaces the bnode recursion).  ``focus`` is a one-column ``node``
+    DataFrame; output is the deduplicated describing triple set.
+
+    Plan shape: per hop, ONE left-semi join of the (predicate-pruned)
+    triple table against the current focus set, then the next focus set
+    is the objects just reached — frontier-style, like bfs_hops: each
+    round's semi-join is proportional to the frontier, and the focus
+    side broadcasts while it is small (the common case: DESCRIBE of a
+    handful of entities)."""
+    if hops < 1:
+        raise ValueError("describe needs hops >= 1")
+    cur = focus.select(F.col("node")).distinct()
+    out = None
+    for _ in range(hops):
+        described = triples.join(
+            cur, triples["subject"] == cur["node"], "left_semi"
+        )
+        out = described if out is None else out.unionByName(described)
+        cur = described.select(F.col("object").alias("node")).distinct()
     return out.distinct()
 
 

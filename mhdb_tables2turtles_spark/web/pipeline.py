@@ -218,6 +218,16 @@ class KGPipeline:
             "counters": self.staged.counters(),
         }
 
+    def export_store(self, path: str, batch_id: str | None = None) -> None:
+        """Publish the committed canonical graph as the query-optimized
+        physical layout (web/store.py): predicate-partitioned,
+        subject-sorted parquet.  The staged ``canonical`` table is the
+        source of truth for resume/lineage; this is the serving copy the
+        BGP/path query surface reads with partition pruning."""
+        from mhdb_tables2turtles_spark.web.store import write_triple_store
+
+        write_triple_store(self.canonical_asof(batch_id), path)
+
     # --------------------------------------------- incremental re-crawl
 
     def canonical_asof(self, batch_id: str | None = None) -> DataFrame:

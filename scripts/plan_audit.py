@@ -77,6 +77,9 @@ AUDIT = (
     "kg_owl_closure",
     "kg_group_agg",
     "kg_char_sets",
+    "kg_path_query",
+    "kg_bgp_optimized",
+    "kg_describe",
 )
 
 CHECKS = {
@@ -172,6 +175,13 @@ CHECKS = {
     # two chained aggregations (subject-keyed, then set-keyed); the
     # string-set buffer makes Catalyst pick SortAggregate — match either
     "kg_char_sets": ["Aggregate", "!Window", "!CartesianProduct"],
+    # property-path sequence compiles to equi-joins; the zero-or-one
+    # identity is a union branch, never a cartesian expansion
+    "kg_path_query": ["Union", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # selectivity-reordered BGP stays all-equi-join
+    "kg_bgp_optimized": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # CBD hops are frontier left-semi joins
+    "kg_describe": ["LeftSemi", "!CartesianProduct"],
 }
 
 

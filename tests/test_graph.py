@@ -1181,3 +1181,231 @@ def test_group_solutions_having(spark):
         group_solutions(b, [], {"n": "count(doc)"})
     with pytest.raises(ValueError):
         group_solutions(b, ["ent"], {})
+
+
+def test_eval_path_combinators(spark):
+    from mhdb_tables2turtles_spark.web.paths import (
+        alt,
+        eval_path,
+        inv,
+        plus,
+        pred,
+        seq,
+        zero_or_more,
+        zero_or_one,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (":a", ":p", ":b"),
+            (":b", ":p", ":c"),
+            (":b", ":q", ":d"),
+            (":e", ":r", ":a"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+
+    def run(path):
+        return {tuple(r) for r in eval_path(t, path).collect()}
+
+    # atomic + inverse
+    assert run(pred(":q")) == {(":b", ":d")}
+    assert run(inv(pred(":q"))) == {(":d", ":b")}
+    # sequence ?x :p/:q ?y
+    assert run(seq(pred(":p"), pred(":q"))) == {(":a", ":d")}
+    # alternation ?x :q|:r ?y
+    assert run(alt(pred(":q"), pred(":r"))) == {(":b", ":d"), (":e", ":a")}
+    # one-or-more :p+
+    assert run(plus(pred(":p"))) == {
+        (":a", ":b"),
+        (":b", ":c"),
+        (":a", ":c"),
+    }
+    # zero-or-one: :q? = :q plus identity over EVERY graph node
+    nodes = {":a", ":b", ":c", ":d", ":e"}
+    assert run(zero_or_one(pred(":q"))) == {(":b", ":d")} | {
+        (n, n) for n in nodes
+    }
+    # zero-or-more: closure plus the identity
+    assert run(zero_or_more(pred(":p"))) == {
+        (":a", ":b"),
+        (":b", ":c"),
+        (":a", ":c"),
+    } | {(n, n) for n in nodes}
+    # identity composes away inside a sequence
+    assert run(seq(pred(":p"), zero_or_one(pred(":q")))) == {
+        (":a", ":b"),
+        (":b", ":c"),
+        (":a", ":d"),
+    }
+
+
+def test_triple_store_pruning(spark, tmp_path):
+    """write_triple_store lays out predicate dirs + subject-sorted row
+    groups; reads prove (a) predicate filters become partition pruning
+    (scan lists only that predicate's files) and (b) subject filters
+    reach parquet as pushed filters."""
+    from mhdb_tables2turtles_spark.web.store import (
+        read_triple_store,
+        write_triple_store,
+    )
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [(f":s{i % 7}", p, f":o{i}") for i in range(50) for p in (":mentions", ":label")],
+        ["subject", "predicate", "object"],
+    )
+    path = str(tmp_path / "store")
+    write_triple_store(t, path)
+
+    import glob
+    import os
+
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(path, "predicate=*"))
+    )
+    assert dirs == ["predicate=%3Alabel", "predicate=%3Amentions"]
+
+    back = read_triple_store(spark, path)
+    assert back.count() == 100
+
+    one_pred = back.filter(F.col("predicate") == ":mentions")
+    plan = one_pred._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the predicate filter is a PartitionFilter on the
+    # scan, not a post-scan Filter over both directories
+    assert "PartitionFilters" in plan and "predicate" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert one_pred.count() == 50
+
+    one_subj = back.filter(F.col("subject") == ":s3")
+    splan = one_subj._jdf.queryExecution().executedPlan().toString()
+    pushed = splan.split("PushedFilters: [")[1].split("]")[0]
+    assert "subject" in pushed and "EqualTo" in pushed
+
+
+def test_npred_negated_property_set(spark):
+    from mhdb_tables2turtles_spark.web.paths import (
+        alt,
+        eval_path,
+        inv,
+        npred,
+        pred,
+        seq,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (":a", ":p", ":b"),
+            (":b", ":q", ":c"),
+            (":c", ":r", ":d"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+
+    def run(path):
+        return {tuple(r) for r in eval_path(t, path).collect()}
+
+    # !(:p) — every forward edge except :p
+    assert run(npred(":p")) == {(":b", ":c"), (":c", ":d")}
+    # multi-member NPS
+    assert run(npred(":p", ":r")) == {(":b", ":c")}
+    # spec's mixed form !(p|^q) built from the primitives
+    assert run(alt(npred(":p", ":q"), inv(npred(":r")))) == {
+        (":c", ":d"),
+        (":b", ":a"),
+        (":c", ":b"),
+    }
+    # composes inside a sequence
+    assert run(seq(pred(":p"), npred(":p"))) == {(":a", ":c")}
+    with pytest.raises(ValueError):
+        npred()
+
+
+def test_order_bgp_selectivity(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        compile_bgp,
+        compile_bgp_optimized,
+        order_bgp,
+        predicate_counts,
+    )
+
+    stats = {":mentions": 1_000_000, ":coOccursWith": 500, ":label": 40}
+    worst = [
+        ("?d", ":mentions", "?e"),
+        ("?d", ":mentions", "?e2"),
+        ("?e", ":coOccursWith", "?e2"),
+    ]
+    # cheapest pattern anchors; the rest join connected, never cartesian
+    assert order_bgp(worst, stats) == [
+        ("?e", ":coOccursWith", "?e2"),
+        ("?d", ":mentions", "?e"),
+        ("?d", ":mentions", "?e2"),
+    ]
+    # bound-literal selectivity: a literal object beats a cheaper
+    # predicate count once the 10x-per-literal factor kicks in
+    pats = [("?d", ":mentions", "?e"), ("?d2", ":mentions", ":Spark")]
+    assert order_bgp(pats, stats)[0] == ("?d2", ":mentions", ":Spark")
+    # disconnected query: each component stays contiguous (cross joins
+    # only between fully-reduced components, never mid-component), and
+    # within the big component the connected :mentions pattern follows
+    # its :coOccursWith anchor
+    pats = [
+        ("?x", ":mentions", "?z"),
+        ("?a", ":label", "?b"),
+        ("?x", ":coOccursWith", "?y"),
+    ]
+    assert order_bgp(pats, stats) == [
+        ("?a", ":label", "?b"),
+        ("?x", ":coOccursWith", "?y"),
+        ("?x", ":mentions", "?z"),
+    ]
+
+    # end-to-end: optimized result set == naive result set
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d1", ":mentions", ":B"),
+            (":d2", ":mentions", ":A"),
+            (":A", ":coOccursWith", ":B"),
+            (":B", ":coOccursWith", ":A"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    assert predicate_counts(t) == {":mentions": 3, ":coOccursWith": 2}
+    naive = {tuple(r) for r in compile_bgp(t, worst).select("d", "e", "e2").collect()}
+    opt = {
+        tuple(r)
+        for r in compile_bgp_optimized(t, worst).select("d", "e", "e2").collect()
+    }
+    assert opt == naive == {(":d1", ":A", ":B"), (":d1", ":B", ":A")}
+
+
+def test_describe_cbd_hops(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import describe
+
+    t = spark.createDataFrame(
+        [
+            (":a", ":p", ":b"),
+            (":a", ":label", "A"),
+            (":b", ":p", ":c"),
+            (":c", ":p", ":d"),
+            (":z", ":p", ":a"),  # inbound edge: never part of the CBD
+        ],
+        ["subject", "predicate", "object"],
+    )
+    focus = spark.createDataFrame([(":a",)], ["node"])
+
+    def run(hops):
+        return {tuple(r) for r in describe(t, focus, hops=hops).collect()}
+
+    assert run(1) == {(":a", ":p", ":b"), (":a", ":label", "A")}
+    # hop 2 expands through objects reached at hop 1 (:b and the literal
+    # "A", which matches no subject)
+    assert run(2) == {
+        (":a", ":p", ":b"),
+        (":a", ":label", "A"),
+        (":b", ":p", ":c"),
+    }
+    assert run(3) == run(2) | {(":c", ":p", ":d")}
+    with pytest.raises(ValueError):
+        describe(t, focus, hops=0)

@@ -133,6 +133,16 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     assert man["n_partitions"] >= 1
     assert sum(man["partitions"].values()) == man["rows"]
 
+    # serving copy: export_store publishes the canonical graph in the
+    # predicate-partitioned layout, value-identical to the staged table
+    store_path = str(tmp_path / "store")
+    pipe2.export_store(store_path)
+    from mhdb_tables2turtles_spark.web.store import read_triple_store
+
+    back = read_triple_store(spark, store_path)
+    assert back.count() == n
+    assert back.exceptAll(triples).count() == 0
+
 
 def test_kill_mid_pipeline_resumes_from_last_commit(spark, corpus, tmp_path):
     """SURVEY §5.3-5: die after stage-2 commit, restart, identical final
