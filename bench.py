@@ -118,6 +118,7 @@ BENCH_QUERIES = (
     "kg_path_query",
     "kg_bgp_optimized",
     "kg_describe",
+    "kg_assortativity",
 )
 
 

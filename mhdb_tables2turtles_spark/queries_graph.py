@@ -2032,6 +2032,73 @@ def _sql_describe(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity of the strong co-mention graph (Newman
+    2002) in EXACT integers: with edges doubled symmetrically the two
+    variance factors of Pearson's r are identical, so
+    ``r = assort_num / assort_den`` with ``assort_num = n*Σxy - Σx*Σy``
+    and ``assort_den = n*Σx² - (Σx)²`` — no square root, no floats,
+    hash-exact across engines (the ratio is the consumer's one
+    division).  Plan: ONE degree aggregation, two broadcast joins of
+    the entity-sized degree table onto the doubled edge list, ONE
+    single-row moment aggregation — nothing instance-scale shuffles
+    except the initial degree groupBy."""
+    e0 = q_kg_cooccurrence_edges(spark, sf_dir)
+    e = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    j = (
+        e.join(
+            F.broadcast(deg).withColumnRenamed("node", "src"), "src"
+        )
+        .withColumnRenamed("deg", "x")
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "dst"), "dst"
+        )
+        .withColumnRenamed("deg", "y")
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("n_dedges"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
+    return s.select(
+        "*",
+        (F.col("n_dedges") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).alias("assort_num"),
+        (F.col("n_dedges") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).alias("assort_den"),
+    )
+
+
+def _sql_assortativity(cooc_sql: str) -> str:
+    return f"""
+    with e0 as (select term_a, term_b from ({cooc_sql})
+                where n_docs >= {_PR_MIN_DOCS}),
+    e as (select term_a as src, term_b as dst from e0
+          union all select term_b, term_a from e0),
+    d as (select src as node, count(*) as deg from e group by src),
+    j as (select dx.deg as x, dy.deg as y from e
+          join d dx on e.src = dx.node
+          join d dy on e.dst = dy.node),
+    s as (select cast(count(*) as bigint) as n_dedges,
+                 cast(sum(x*y) as bigint) as sum_xy,
+                 cast(sum(x) as bigint) as sum_x,
+                 cast(sum(y) as bigint) as sum_y,
+                 cast(sum(x*x) as bigint) as sum_x2,
+                 cast(sum(y*y) as bigint) as sum_y2
+          from j)
+    select *,
+           n_dedges * sum_xy - sum_x * sum_y as assort_num,
+           n_dedges * sum_x2 - sum_x * sum_x as assort_den
+    from s
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -2073,6 +2140,7 @@ GRAPH_QUERIES = {
     "kg_path_query": q_kg_path_query,
     "kg_bgp_optimized": q_kg_bgp_optimized,
     "kg_describe": q_kg_describe,
+    "kg_assortativity": q_kg_assortativity,
 }
 
 
@@ -2122,4 +2190,5 @@ def graph_oracles(
         "kg_path_query": _sql_path_query(cooc_sql, triples_sql),
         "kg_bgp_optimized": _sql_bgp_optimized(cooc_sql, triples_sql),
         "kg_describe": _sql_describe(cooc_sql, triples_sql),
+        "kg_assortativity": _sql_assortativity(cooc_sql),
     }

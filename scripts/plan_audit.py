@@ -80,6 +80,7 @@ AUDIT = (
     "kg_path_query",
     "kg_bgp_optimized",
     "kg_describe",
+    "kg_assortativity",
 )
 
 CHECKS = {
@@ -182,6 +183,8 @@ CHECKS = {
     "kg_bgp_optimized": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # CBD hops are frontier left-semi joins
     "kg_describe": ["LeftSemi", "!CartesianProduct"],
+    # degree joins broadcast the entity-sized degree table
+    "kg_assortativity": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
 }
 
 

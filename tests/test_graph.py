@@ -1409,3 +1409,39 @@ def test_describe_cbd_hops(spark):
     assert run(3) == run(2) | {(":c", ":p", ":d")}
     with pytest.raises(ValueError):
         describe(t, focus, hops=0)
+
+
+def test_assortativity_moments_star_graph(spark):
+    """Star graphs are perfectly disassortative: r = num/den must be -1
+    exactly; a regular graph degenerates to den = 0 (r undefined)."""
+    from pyspark.sql import functions as F
+
+    def moments(edge_rows):
+        e0 = spark.createDataFrame(edge_rows, ["src", "dst"])
+        e = e0.unionAll(e0.selectExpr("dst as src", "src as dst"))
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        j = (
+            e.join(deg.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("deg", "x")
+            .join(deg.withColumnRenamed("node", "dst"), "dst")
+            .withColumnRenamed("deg", "y")
+        )
+        r = j.agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("x*y")).alias("sxy"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("x*x")).alias("sx2"),
+        ).first()
+        return (
+            r.n * r.sxy - r.sx * r.sx,
+            r.n * r.sx2 - r.sx * r.sx,
+        )
+
+    num, den = moments([("h", f"l{i}") for i in range(3)])
+    assert (num, den) == (-36, 36)  # r = -1
+    num, den = moments([("a", "b"), ("b", "c")])
+    assert (num, den) == (-4, 4)  # r = -1
+    num, den = moments([("a", "b"), ("c", "d")])
+    assert den == 0 and num == 0  # 1-regular: r undefined
