@@ -119,6 +119,7 @@ BENCH_QUERIES = (
     "kg_bgp_optimized",
     "kg_describe",
     "kg_assortativity",
+    "kg_named_graphs",
 )
 
 

@@ -32,7 +32,12 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["TurtleSyntaxError", "validate_turtle", "validate_ttl_dir"]
+__all__ = [
+    "TurtleSyntaxError",
+    "parse_turtle",
+    "validate_turtle",
+    "validate_ttl_dir",
+]
 
 
 class TurtleSyntaxError(ValueError):
@@ -141,13 +146,30 @@ def _linecol(text: str, pos: int) -> tuple[int, int]:
 
 
 class _Parser:
-    """turtleDoc ::= statement*  (recursive descent over the token list)."""
+    """turtleDoc ::= statement*  (recursive descent over the token list).
 
-    def __init__(self, text: str):
+    With ``collect=True`` the parse also materializes the triples as
+    surface-form ``(subject, predicate, object)`` term strings — the
+    same convention the engine's triple tables and golden oracles use
+    (prefixed names as written, literals with their quotes/langtag/
+    datatype verbatim, ``a`` kept as ``a``).  Anonymous/nested blank
+    nodes mint deterministic per-document ``_:genN`` labels; RDF
+    collections are validated but refuse to collect (their rdf:first/
+    rest expansion would invent terms under a prefix the document may
+    not declare)."""
+
+    def __init__(self, text: str, collect: bool = False):
         self.text = text
         self.toks = _Lexer(text).tokens
         self.i = 0
         self.prefixes: set[str] = set()
+        self.collect = collect
+        self.triples: list[tuple[str, str, str]] = []
+        self._bnode_n = 0
+
+    def _new_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:gen{self._bnode_n}"
 
     # -- token helpers --
     def _peek(self):
@@ -205,25 +227,27 @@ class _Parser:
             self._expect_punct(".")
 
     def _triples(self) -> int:
-        self._subject()
-        n = self._predicate_object_list()
+        subj = self._subject()
+        n = self._predicate_object_list(subj)
         self._expect_punct(".")
         return n
 
-    def _subject(self) -> None:
+    def _subject(self) -> str:
         t = self._next()
-        if t[0] in ("IRIREF", "BLANK", "ANON"):
-            return
+        if t[0] in ("IRIREF", "BLANK"):
+            return t[1]
+        if t[0] == "ANON":
+            return self._new_bnode()
         if t[0] == "PNAME":
             self._check_pname(t)
-            return
+            return t[1]
         if t[0] == "PUNCT" and t[1] == "(":
             self._collection_rest()
-            return
+            return self._no_collect("collection subject")
         raise self._err(f"invalid subject {t[1]!r}", t)
 
-    def _predicate_object_list(self) -> int:
-        n = self._verb_objects()
+    def _predicate_object_list(self, subj: str) -> int:
+        n = self._verb_objects(subj)
         while True:
             t = self._peek()
             if t is None or t[0] != "PUNCT" or t[1] != ";":
@@ -233,35 +257,53 @@ class _Parser:
             # trailing ';' before '.' is legal
             if t is None or (t[0] == "PUNCT" and t[1] in ".]"):
                 return n
-            n += self._verb_objects()
+            n += self._verb_objects(subj)
 
-    def _verb_objects(self) -> int:
+    def _verb_objects(self, subj: str) -> int:
         t = self._next()
         if t[0] == "PNAME":
             self._check_pname(t)
         elif t[0] not in ("IRIREF", "A_KW"):
             raise self._err(f"invalid predicate {t[1]!r}", t)
+        verb = t[1]
         n = 1
-        self._object()
+        self._emit(subj, verb, self._object())
         while True:
             p = self._peek()
             if p is None or p[0] != "PUNCT" or p[1] != ",":
                 return n
             self._next()
-            self._object()
+            self._emit(subj, verb, self._object())
             n += 1
 
-    def _object(self) -> None:
+    def _emit(self, subj: str, verb: str, obj: str) -> None:
+        if self.collect:
+            self.triples.append((subj, verb, obj))
+
+    def _no_collect(self, what: str) -> str:
+        if self.collect:
+            raise ValueError(
+                f"parse_turtle does not collect RDF {what}s (their "
+                "rdf:first/rest expansion mints terms under a prefix "
+                "the document may not declare); validation-only parse "
+                "accepts them"
+            )
+        return "()"
+
+    def _object(self) -> str:
         t = self._next()
-        if t[0] in ("IRIREF", "BLANK", "ANON", "NUMBER", "BOOL"):
-            return
+        if t[0] in ("IRIREF", "BLANK", "NUMBER", "BOOL"):
+            return t[1]
+        if t[0] == "ANON":
+            return self._new_bnode()
         if t[0] == "PNAME":
             self._check_pname(t)
-            return
+            return t[1]
         if t[0] in ("STRING", "LONGSTR"):
+            surface = t[1]
             p = self._peek()
             if p is not None and p[0] == "LANGTAG":
-                self._next()
+                surface += self._next()[1]
             elif p is not None and p[0] == "DTYPE":
                 self._next()
                 dt = self._next()
@@ -269,14 +311,16 @@ class _Parser:
                     self._check_pname(dt)
                 elif dt[0] != "IRIREF":
                     raise self._err("expected datatype IRI after ^^", dt)
-            return
+                surface += "^^" + dt[1]
+            return surface
         if t[0] == "PUNCT" and t[1] == "(":
             self._collection_rest()
-            return
+            return self._no_collect("collection")
         if t[0] == "PUNCT" and t[1] == "[":
-            self._predicate_object_list()
+            bnode = self._new_bnode()
+            self._predicate_object_list(bnode)
             self._expect_punct("]")
-            return
+            return bnode
         raise self._err(f"invalid object {t[1]!r}", t)
 
     def _collection_rest(self) -> None:
@@ -308,6 +352,22 @@ def validate_turtle(
     p = _Parser(text)
     p.prefixes.update(extra_prefixes)
     return p.parse()
+
+
+def parse_turtle(
+    text: str, extra_prefixes: tuple[str, ...] = ()
+) -> "list[tuple[str, str, str]]":
+    """Parse ``text`` as a turtleDoc and return its triples as
+    surface-form ``(subject, predicate, object)`` term strings — the
+    grammar-exact counterpart of the layout-specific oracle parser
+    ``sources/golden.py::parse_turtle_body``, and the kernel of the
+    distributed Turtle source (sources/turtle.py).  Same strictness as
+    :func:`validate_turtle`: any grammar violation raises
+    :class:`TurtleSyntaxError`."""
+    p = _Parser(text, collect=True)
+    p.prefixes.update(extra_prefixes)
+    p.parse()
+    return p.triples
 
 
 def validate_ttl_dir(ttl_dir: str) -> int:

@@ -2099,6 +2099,50 @@ def _sql_assortativity(cooc_sql: str) -> str:
 """
 
 
+def q_kg_named_graphs(spark, sf_dir):
+    """Named-graph (quad) surface: each crawl ``source`` is a named
+    graph (the SPARQL dataset model — one graph per crawl slice /
+    provenance bucket), and the query is cross-graph entity
+    persistence: per entity, in how many and which named graphs it is
+    mentioned — the 'is this entity corpus-wide or one-source noise?'
+    signal a KG curation pass keys trust decisions on.
+
+    Plan: mention scan ⋈ documents on the uniform doc_id key, then ONE
+    entity-keyed aggregation (count distinct + sorted collect_set of
+    graph names; graph cardinality is sources — tiny, so the set
+    buffers stay bounded no matter the corpus size)."""
+    from mhdb_tables2turtles_spark.functions import udfs
+    from mhdb_tables2turtles_spark.queries import (
+        _mention_counts,
+        _read_spread,
+    )
+
+    m = _mention_counts(spark, sf_dir).select("doc_id", "term").distinct()
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    quads = m.join(docs, "doc_id").select(
+        F.col("source").alias("graph"),
+        udfs.iri(F.col("term"), "PascalCase").alias("entity"),
+    )
+    return quads.groupBy("entity").agg(
+        F.countDistinct("graph").alias("n_graphs"),
+        F.sort_array(F.collect_set("graph")).alias("graphs"),
+    )
+
+
+def _sql_named_graphs(mentions_sql: str) -> str:
+    return f"""
+    with m as (select distinct doc_id, term from ({mentions_sql})),
+    q as (select d.source as graph, {_SQL_TERM_IRI} as entity
+          from m join documents d using (doc_id))
+    select entity,
+           cast(count(distinct graph) as bigint) as n_graphs,
+           list_sort(list(distinct graph)) as graphs
+    from q group by entity
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -2141,6 +2185,7 @@ GRAPH_QUERIES = {
     "kg_bgp_optimized": q_kg_bgp_optimized,
     "kg_describe": q_kg_describe,
     "kg_assortativity": q_kg_assortativity,
+    "kg_named_graphs": q_kg_named_graphs,
 }
 
 
@@ -2191,4 +2236,5 @@ def graph_oracles(
         "kg_bgp_optimized": _sql_bgp_optimized(cooc_sql, triples_sql),
         "kg_describe": _sql_describe(cooc_sql, triples_sql),
         "kg_assortativity": _sql_assortativity(cooc_sql),
+        "kg_named_graphs": _sql_named_graphs(mentions_sql),
     }

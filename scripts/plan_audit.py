@@ -81,6 +81,7 @@ AUDIT = (
     "kg_bgp_optimized",
     "kg_describe",
     "kg_assortativity",
+    "kg_named_graphs",
 )
 
 CHECKS = {
@@ -185,6 +186,8 @@ CHECKS = {
     "kg_describe": ["LeftSemi", "!CartesianProduct"],
     # degree joins broadcast the entity-sized degree table
     "kg_assortativity": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # ONE aggregation after the uniform doc_id join; never a window
+    "kg_named_graphs": ["ObjectHashAggregate", "!Window", "!CartesianProduct"],
 }
 
 
