@@ -120,6 +120,7 @@ BENCH_QUERIES = (
     "kg_describe",
     "kg_assortativity",
     "kg_named_graphs",
+    "kg_values_bind",
 )
 
 

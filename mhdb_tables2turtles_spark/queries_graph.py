@@ -2143,6 +2143,40 @@ def _sql_named_graphs(mentions_sql: str) -> str:
 """
 
 
+def q_kg_values_bind(spark, sf_dir):
+    """SPARQL VALUES + BIND (web/kgquery.py::compile_bgp): restrict the
+    chain BGP ``?d :mentions ?e . ?e :coOccursWith ?f`` with
+    ``VALUES ?e { :Spark :Hash :Vector }`` and append
+    ``BIND(concat(?e, '->', ?f) AS ?edge)``.  VALUES compiles to an
+    IN-list predicate Catalyst pushes into ?e's pattern scans; BIND is
+    a row-local projection — neither adds a shuffle."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = _mention_plus_cooc_triples(spark, sf_dir)
+    return compile_bgp(
+        t,
+        [("?d", ":mentions", "?e"), ("?e", ":coOccursWith", "?f")],
+        values={"e": [":Spark", ":Hash", ":Vector"]},
+        bind={"edge": "concat(e, '->', f)"},
+    )
+
+
+def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
+    return f"""
+    with t as ({triples_sql}),
+    c as (select term_a, term_b from ({cooc_sql})
+          where n_docs >= {_CHAIN_MIN_DOCS}),
+    ee as (select {_SQL_TERM_IRI_A} as s, {_SQL_TERM_IRI_B} as o from c
+           union all
+           select {_SQL_TERM_IRI_B}, {_SQL_TERM_IRI_A} from c),
+    m as (select distinct subject as d, object as e from t
+          where predicate = ':mentions')
+    select distinct m.d, m.e, ee.o as f, m.e||'->'||ee.o as edge
+    from m join ee on m.e = ee.s
+    where m.e in (':Spark', ':Hash', ':Vector')
+"""
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -2186,6 +2220,7 @@ GRAPH_QUERIES = {
     "kg_describe": q_kg_describe,
     "kg_assortativity": q_kg_assortativity,
     "kg_named_graphs": q_kg_named_graphs,
+    "kg_values_bind": q_kg_values_bind,
 }
 
 
@@ -2237,4 +2272,5 @@ def graph_oracles(
         "kg_describe": _sql_describe(cooc_sql, triples_sql),
         "kg_assortativity": _sql_assortativity(cooc_sql),
         "kg_named_graphs": _sql_named_graphs(mentions_sql),
+        "kg_values_bind": _sql_values_bind(cooc_sql, triples_sql),
     }

@@ -174,6 +174,8 @@ def compile_bgp(
     optional: Sequence[tuple[str, str, str]] = (),
     minus: Sequence[tuple[str, str, str]] = (),
     filters: Sequence[str] = (),
+    values: "dict[str, Sequence[str]] | None" = None,
+    bind: "dict[str, str] | None" = None,
     subject_col: str = "subject",
     predicate_col: str = "predicate",
     object_col: str = "object",
@@ -209,6 +211,20 @@ def compile_bgp(
     scale).  MINUS compiles to a left-anti join on the shared
     variables — never a subtract over full rows, so only the shared
     columns shuffle.
+
+    ``values`` is SPARQL VALUES in its per-variable form — inline data
+    restricting each named variable to an enumerated set:
+    ``{"e": [":A", ":B"]}``.  Each entry compiles to an IN-list
+    predicate applied before OPTIONAL/MINUS, which Catalyst pushes
+    below the joins into that variable's pattern scan (partition-level
+    pruning on a predicate/subject-organized store) — strictly cheaper
+    than the textbook literal-table join, sound because VALUES is an
+    inner join in the SPARQL algebra and inner joins commute.
+    Correlated multi-variable VALUES rows compose as a ``filters``
+    disjunction.  ``bind`` is SPARQL BIND — each ``alias -> SQL
+    expression`` over in-scope variables appends a new bound column
+    (row-local, zero shuffle); binds evaluate in the given order after
+    FILTER, so later binds may reference earlier ones.
     """
     if not patterns:
         raise ValueError("compile_bgp needs at least one required pattern")
@@ -254,6 +270,12 @@ def compile_bgp(
     cur = None
     for pat in patterns:
         cur = join_in(cur, pat, "inner")
+    for var, allowed in (values or {}).items():
+        if var not in cur.columns:
+            raise ValueError(f"VALUES variable ?{var} is not bound")
+        if not allowed:
+            raise ValueError(f"VALUES for ?{var} is empty")
+        cur = cur.filter(F.col(var).isin(*allowed))
     if minus:
         neg = None
         for pat in minus:
@@ -268,6 +290,11 @@ def compile_bgp(
         cur = join_in(cur, pat, "left")
     for expr in filters:
         cur = cur.filter(F.expr(expr))
+    for alias, expr in (bind or {}).items():
+        if alias in cur.columns:
+            raise ValueError(f"BIND would rebind in-scope variable ?{alias}")
+        cur = cur.withColumn(alias, F.expr(expr))
+        order.append(alias)
     out = cur.select(*order)
     return out.distinct() if distinct else out
 

@@ -82,6 +82,7 @@ AUDIT = (
     "kg_describe",
     "kg_assortativity",
     "kg_named_graphs",
+    "kg_values_bind",
 )
 
 CHECKS = {
@@ -188,6 +189,8 @@ CHECKS = {
     "kg_assortativity": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     # ONE aggregation after the uniform doc_id join; never a window
     "kg_named_graphs": ["ObjectHashAggregate", "!Window", "!CartesianProduct"],
+    # VALUES is an IN predicate (no literal-table join); BIND row-local
+    "kg_values_bind": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 

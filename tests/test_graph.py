@@ -1445,3 +1445,43 @@ def test_assortativity_moments_star_graph(spark):
     assert (num, den) == (-4, 4)  # r = -1
     num, den = moments([("a", "b"), ("c", "d")])
     assert den == 0 and num == 0  # 1-regular: r undefined
+
+
+def test_compile_bgp_values_and_bind(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d1", ":mentions", ":B"),
+            (":d2", ":mentions", ":A"),
+            (":d2", ":mentions", ":C"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    pats = [("?d", ":mentions", "?e")]
+    got = {
+        tuple(r)
+        for r in compile_bgp(
+            t, pats, values={"e": [":A", ":C"]},
+            bind={"tag": "concat(d, '/', e)"},
+        ).collect()
+    }
+    assert got == {
+        (":d1", ":A", ":d1/:A"),
+        (":d2", ":A", ":d2/:A"),
+        (":d2", ":C", ":d2/:C"),
+    }
+    # chained binds may reference earlier binds
+    got2 = compile_bgp(
+        t, pats, values={"e": [":B"]},
+        bind={"l": "length(e)", "l2": "l + 1"},
+    ).collect()
+    assert [tuple(r) for r in got2] == [(":d1", ":B", 2, 3)]
+    # errors: unbound VALUES var, empty set, rebinding an in-scope var
+    with pytest.raises(ValueError):
+        compile_bgp(t, pats, values={"zz": [":A"]})
+    with pytest.raises(ValueError):
+        compile_bgp(t, pats, values={"e": []})
+    with pytest.raises(ValueError):
+        compile_bgp(t, pats, bind={"e": "upper(d)"})
