@@ -33,27 +33,49 @@ __all__ = ["write_triple_store", "read_triple_store"]
 
 
 def write_triple_store(
-    triples: DataFrame, path: str, max_records_per_file: int = 5_000_000
+    triples: DataFrame,
+    path: str,
+    max_records_per_file: int = 5_000_000,
+    num_partitions: int | None = None,
 ) -> None:
     """Write ``(subject, predicate, object)`` rows as a predicate-
     partitioned, subject-sorted parquet table.
 
-    Plan shape: ONE shuffle keyed by predicate (repartition by the
-    partition column so each predicate's files are written by as few
-    tasks as possible — without it every task writes a sliver into
-    every partition directory, the small-files failure mode at 10^5
-    tasks), then an in-task sort by subject so parquet row-group
-    min/max statistics become subject ranges.  Skew note: predicate
-    frequencies are heavy-tailed, so the repartition uses (predicate,
-    subject-hash) rather than predicate alone — the hot predicate's
-    rows spread over many tasks (each still sorted, each writing only
-    to that predicate's directory) instead of serializing through one.
-    ``maxRecordsPerFile`` bounds file size under that skew.
+    Plan shape: ONE range shuffle keyed by (predicate, subject).
+    Range partitioning — not hash — is the load-bearing choice for a
+    heavy-tailed predicate distribution:
+
+    * a TAIL predicate's whole range fits inside one task, so it
+      writes ONE file into its directory (hashing the subject instead
+      would scatter every tail predicate across all tasks — the
+      small-files failure mode at 10^5 tasks: directories × tasks
+      sliver files);
+    * the HOT predicate spans a number of contiguous ranges
+      proportional to its row count, so it still parallelizes and
+      never serializes through a single writer;
+    * within a predicate, tasks own DISJOINT subject ranges, so after
+      the in-task sort the parquet row-group min/max subject stats are
+      non-overlapping across files — a subject point lookup skips
+      every file but one, instead of probing one row group per file.
+
+    ``maxRecordsPerFile`` bounds file size under residual skew (one
+    giant subject).  When ``num_partitions`` is None the range count is
+    left to AQE, which coalesces tiny ranges — at small volume the
+    whole store legitimately collapses to one file; pass an explicit
+    ``num_partitions`` to pin the task count (AQE never coalesces a
+    user-specified partition count).  On Iceberg this is exactly
+    ``partitionedBy(predicate)`` + a table sort order of ``subject``.
     """
-    (
+    range_cols = [F.col("predicate"), F.col("subject")]
+    parted = (
         triples.select("subject", "predicate", "object")
-        .repartition(F.col("predicate"), F.crc32(F.col("subject")))
-        .sortWithinPartitions("predicate", "subject")
+        .repartitionByRange(num_partitions, *range_cols)
+        if num_partitions
+        else triples.select("subject", "predicate", "object")
+        .repartitionByRange(*range_cols)
+    )
+    (
+        parted.sortWithinPartitions("predicate", "subject")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("predicate")

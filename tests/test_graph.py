@@ -1283,6 +1283,51 @@ def test_triple_store_pruning(spark, tmp_path):
     assert "subject" in pushed and "EqualTo" in pushed
 
 
+def test_triple_store_range_layout(spark, tmp_path):
+    """The (predicate, subject) RANGE shuffle is the load-bearing layout
+    choice under a heavy-tailed predicate distribution: (a) each tail
+    predicate's whole range fits in O(1) tasks, so its directory holds
+    O(1) files instead of one sliver per task (the small-files failure
+    mode a subject-hash shuffle produces at 10^5 tasks); (b) within the
+    hot predicate's directory, files own DISJOINT subject ranges, so a
+    subject point lookup skips every file but one via row-group stats."""
+    from mhdb_tables2turtles_spark.web.store import write_triple_store
+
+    rows = [(f":s{i:04d}", ":hot", f":o{i}") for i in range(2000)]
+    for t in range(5):
+        rows += [(f":t{t}_{j:02d}", f":tail{t}", ":o") for j in range(10)]
+    df = spark.createDataFrame(rows, ["subject", "predicate", "object"])
+    path = str(tmp_path / "store")
+    write_triple_store(df, path, num_partitions=8)
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    for t in range(5):
+        files = glob.glob(os.path.join(path, f"predicate=%3Atail{t}", "*.parquet"))
+        # a range boundary can split one tail predicate at most once
+        assert 1 <= len(files) <= 2, files
+
+    spans = []
+    for f in glob.glob(os.path.join(path, "predicate=%3Ahot", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    assert len(spans) > 1  # hot predicate still parallelizes across tasks
+    spans.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= nxt_lo  # disjoint subject ranges across files
+
+
 def test_npred_negated_property_set(spark):
     from mhdb_tables2turtles_spark.web.paths import (
         alt,
