@@ -121,6 +121,10 @@ BENCH_QUERIES = (
     "kg_assortativity",
     "kg_named_graphs",
     "kg_values_bind",
+    # round-4d: global graph structure (directed web-graph analytics)
+    "kg_scc",
+    "kg_bowtie",
+    "kg_neighborhood",
 )
 
 

@@ -2177,6 +2177,222 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+# --------------------------------------------------- global structure
+
+# Deterministic DIRECTED fixture over the co-mention graph: each
+# undirected pair is directed (or dropped) by its md5 bucket, giving a
+# web-like mix of one-way links, reciprocal pairs, and absent edges —
+# the same self-contained-fixture device as kg_link_predict's edge
+# drop.  Buckets: 0-2 forward, 3-5 reverse, 6 reciprocal, 7-9 dropped.
+
+
+def q_kg_directed_edges(spark, sf_dir):
+    from mhdb_tables2turtles_spark.ops.common import hash60
+
+    und = q_kg_cooccurrence_edges(spark, sf_dir)
+    h = (hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 10).alias(
+        "h"
+    )
+    d = und.select("src", "dst", h)
+    fwd = d.filter(F.col("h") < 3).select("src", "dst")
+    rev = d.filter((F.col("h") >= 3) & (F.col("h") < 6)).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    cyc = d.filter(F.col("h") == 6)
+    return (
+        fwd.unionByName(rev)
+        .unionByName(cyc.select("src", "dst"))
+        .unionByName(
+            cyc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _sql_directed_cte(cooc_sql: str) -> str:
+    return f"""
+    d as materialized (
+          select term_a as a, term_b as b,
+                 ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                     % 10 as h
+          from ({cooc_sql}) where n_docs >= {_PR_MIN_DOCS}),
+    e as materialized (
+          select a as u, b as v from d where h < 3
+          union select b, a from d where h >= 3 and h < 6
+          union select a, b from d where h = 6
+          union select b, a from d where h = 6),
+    n as materialized (select u as node from e union select v from e),
+    reach(s, t) as (
+        select u, v from e
+        union
+        select r.s, e.v from reach r join e on r.t = e.u
+    )"""
+
+
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components of the hash-directed co-mention
+    graph (web/structure.py::strongly_connected_components — Orzan
+    coloring); scc_id = min member, so the oracle is mutual
+    recursive-CTE reachability."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        q_kg_directed_edges(spark, sf_dir)
+    )
+
+
+def _sql_scc(cooc_sql: str) -> str:
+    return f"""
+    with recursive {_sql_directed_cte(cooc_sql).strip()},
+    reach_m as materialized (select s, t from reach),
+    mutual as (
+        select a.s as u, a.t as v
+        from reach_m a join reach_m b on b.s = a.t and b.t = a.s
+    )
+    select n.node,
+           least(n.node, coalesce(min(m.v), n.node)) as scc_id
+    from n left join mutual m on m.u = n.node
+    group by n.node
+"""
+
+
+def q_kg_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the hash-directed co-mention
+    graph (web/structure.py::bowtie_decomposition): six (component,
+    n_nodes) rows — CORE/IN/OUT/TUBES/TENDRILS/DISCONNECTED."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        bowtie_decomposition,
+    )
+
+    return bowtie_decomposition(q_kg_directed_edges(spark, sf_dir))
+
+
+def _sql_bowtie(cooc_sql: str) -> str:
+    # Every non-recursive CTE is AS MATERIALIZED: DuckDB inlines plain
+    # CTEs per-reference, and `reach` embeds the whole document-mention
+    # scan — without materialization the closure re-evaluates once per
+    # reference (and per correlated row), turning a 12-node oracle into
+    # minutes.  Classification is pure semi-joins, no correlated EXISTS.
+    return f"""
+    with recursive {_sql_directed_cte(cooc_sql).strip()},
+    reach_m as materialized (select s, t from reach),
+    mutual as materialized (
+        select a.s as u, a.t as v
+        from reach_m a join reach_m b on b.s = a.t and b.t = a.s
+    ),
+    scc as materialized (
+        select n.node,
+               least(n.node, coalesce(min(m.v), n.node)) as scc_id
+        from n left join mutual m on m.u = n.node
+        group by n.node
+    ),
+    core_pick as materialized (
+        select scc_id from scc group by scc_id
+        order by count(*) desc, scc_id limit 1
+    ),
+    core as materialized (
+        select node from scc
+        where scc_id = (select scc_id from core_pick)),
+    outs as materialized (
+        select distinct r.t as node from reach_m r
+        join core c on r.s = c.node
+        where r.t not in (select node from core)
+    ),
+    ins as materialized (
+        select distinct r.s as node from reach_m r
+        join core c on r.t = c.node
+        where r.s not in (select node from core)
+    ),
+    rest as materialized (
+        select node from n
+        where node not in (select node from core)
+          and node not in (select node from outs)
+          and node not in (select node from ins)
+    ),
+    from_in as materialized (
+        select distinct r.t as node from reach_m r
+        join ins i on r.s = i.node
+        join rest on rest.node = r.t
+    ),
+    to_out as materialized (
+        select distinct r.s as node from reach_m r
+        join outs o on r.t = o.node
+        join rest on rest.node = r.s
+    ),
+    tubes as materialized (
+        select node from from_in
+        where node in (select node from to_out)),
+    tendrils as materialized (
+        select node from (select node from from_in
+                          union select node from to_out)
+        where node not in (select node from tubes)
+    ),
+    disconnected as materialized (
+        select node from rest
+        where node not in (select node from tubes)
+          and node not in (select node from tendrils)
+    ),
+    counts as (
+        select 'CORE' as component,
+               (select count(*) from core) as n_nodes
+        union all select 'IN', (select count(*) from ins)
+        union all select 'OUT', (select count(*) from outs)
+        union all select 'TUBES', (select count(*) from tubes)
+        union all select 'TENDRILS', (select count(*) from tendrils)
+        union all select 'DISCONNECTED',
+                  (select count(*) from disconnected)
+    )
+    select component, cast(n_nodes as bigint) as n_nodes from counts
+"""
+
+
+_NEIGH_MAX_H = 3
+
+
+def q_kg_neighborhood(spark, sf_dir):
+    """Exact neighborhood function N(h) for h = 0..3 over the sparse
+    co-mention subgraph (web/structure.py::neighborhood_function,
+    exact mode — the HyperBall HLL mode is the web-scale twin)."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.structure import (
+        neighborhood_function,
+    )
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).filter(
+        hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+    )
+    return neighborhood_function(edges, max_h=_NEIGH_MAX_H, mode="exact")
+
+
+def _sql_neighborhood(cooc_sql: str) -> str:
+    parts = [
+        f"""with e0 as (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+              and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                      % 3 = 0
+        ),
+        e as (select term_a as u, term_b as v from e0
+              union all select term_b, term_a from e0),
+        p0 as (select distinct u as s, u as t from e)"""
+    ]
+    for i in range(1, _NEIGH_MAX_H + 1):
+        parts.append(
+            f"""p{i} as (
+            select s, t from p{i-1}
+            union
+            select p{i-1}.s, e.v from p{i-1} join e on p{i-1}.t = e.u)"""
+        )
+    selects = [
+        f"select {h} as hop, cast(count(*) as bigint) as reachable_pairs"
+        f" from p{h}"
+        for h in range(_NEIGH_MAX_H + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nunion all\n".join(selects)
+
+
 GRAPH_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "embed_ivf": q_embed_ivf,
@@ -2221,6 +2437,9 @@ GRAPH_QUERIES = {
     "kg_assortativity": q_kg_assortativity,
     "kg_named_graphs": q_kg_named_graphs,
     "kg_values_bind": q_kg_values_bind,
+    "kg_scc": q_kg_scc,
+    "kg_bowtie": q_kg_bowtie,
+    "kg_neighborhood": q_kg_neighborhood,
 }
 
 
@@ -2273,4 +2492,7 @@ def graph_oracles(
         "kg_assortativity": _sql_assortativity(cooc_sql),
         "kg_named_graphs": _sql_named_graphs(mentions_sql),
         "kg_values_bind": _sql_values_bind(cooc_sql, triples_sql),
+        "kg_scc": _sql_scc(cooc_sql),
+        "kg_bowtie": _sql_bowtie(cooc_sql),
+        "kg_neighborhood": _sql_neighborhood(cooc_sql),
     }

@@ -1530,3 +1530,116 @@ def test_compile_bgp_values_and_bind(spark):
         compile_bgp(t, pats, values={"e": []})
     with pytest.raises(ValueError):
         compile_bgp(t, pats, bind={"e": "upper(d)"})
+
+
+def test_scc_known_components(spark):
+    """Orzan-coloring SCC on a hand graph: a 3-cycle, a 2-cycle fed by
+    it, a self-loop, and acyclic periphery — every singleton included."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),  # SCC {a,b,c}
+            ("d", "e"), ("e", "d"),              # SCC {d,e}
+            ("c", "d"),                          # bridge between them
+            ("f", "a"),                          # feeds the 3-cycle
+            ("e", "g"), ("g", "i"),              # downstream chain
+            ("h", "h"),                          # self-loop singleton
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d",
+        "f": "f", "g": "g", "h": "h", "i": "i",
+    }
+
+
+def test_scc_empty_graph(spark):
+    from mhdb_tables2turtles_spark.web.structure import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert strongly_connected_components(e).count() == 0
+
+
+def test_bowtie_all_six_classes(spark):
+    """Broder decomposition where every class is non-empty by
+    construction: CORE {a,b,c}, IN {f}, OUT {d,e,g,i}, TUBE {k}
+    (IN->OUT bypassing CORE), TENDRIL {j} (hangs off IN),
+    DISCONNECTED {h}."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        bowtie_decomposition,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            ("d", "e"), ("e", "d"), ("c", "d"),
+            ("f", "a"), ("e", "g"), ("g", "i"),
+            ("h", "h"),
+            ("f", "j"),             # tendril
+            ("f", "k"), ("k", "g"),  # tube
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["component"]: r["n_nodes"]
+        for r in bowtie_decomposition(e).collect()
+    }
+    assert got == {
+        "CORE": 3,
+        "IN": 1,
+        "OUT": 4,
+        "TUBES": 1,
+        "TENDRILS": 1,
+        "DISCONNECTED": 1,
+    }
+
+
+def test_neighborhood_exact_path_graph(spark):
+    """N(h) on the path a-b-c-d: 4, 10, 14, 16 (ordered pairs)."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["hop"]: r["reachable_pairs"]
+        for r in neighborhood_function(e, max_h=3, mode="exact").collect()
+    }
+    assert got == {0: 4, 1: 10, 2: 14, 3: 16}
+
+
+def test_neighborhood_hll_close_to_exact(spark):
+    """HyperBall mode (HLL registers) tracks the exact neighborhood
+    function within sketch error on a deterministic ~60-node graph."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        neighborhood_function,
+    )
+
+    edges = [
+        (f"n{i}", f"n{(i * 7 + 3) % 60}")
+        for i in range(60)
+        if i != (i * 7 + 3) % 60
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        r["hop"]: r["reachable_pairs"]
+        for r in neighborhood_function(e, max_h=2, mode="exact").collect()
+    }
+    approx = {
+        r["hop"]: r["reachable_pairs"]
+        for r in neighborhood_function(e, max_h=2, mode="hll").collect()
+    }
+    for h in exact:
+        assert abs(approx[h] - exact[h]) <= max(3, int(0.15 * exact[h]))
