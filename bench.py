@@ -125,6 +125,8 @@ BENCH_QUERIES = (
     "kg_scc",
     "kg_bowtie",
     "kg_neighborhood",
+    "kg_top_entities",
+    "kg_ask",
 )
 
 

@@ -2177,6 +2177,72 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+_TOP_K = 5
+
+
+def q_kg_top_entities(spark, sf_dir):
+    """SPARQL solution modifiers (web/kgquery.py::solution_modifiers)
+    over an aggregation: ``SELECT ?ent (COUNT(?doc) AS n_docs) WHERE
+    {{ ?doc :mentions ?ent }} GROUP BY ?ent ORDER BY DESC(?n_docs)
+    ?ent LIMIT 5`` — compiles to TakeOrderedAndProject (per-partition
+    top-k, size-k merge), never a global sort shuffle.  Fully
+    tie-broken ordering so the top-k SET is deterministic."""
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        compile_bgp,
+        group_solutions,
+        solution_modifiers,
+    )
+
+    b = compile_bgp(
+        _often_triples(spark, sf_dir), [("?doc", ":mentions", "?ent")]
+    )
+    g = group_solutions(b, ["ent"], {"n_docs": "count(doc)"})
+    return solution_modifiers(
+        g, order_by=[("n_docs", "desc"), ("ent", "asc")], limit=_TOP_K
+    )
+
+
+def _sql_top_entities(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    b as (select distinct {_SQL_DOC_IRI} as doc, {_SQL_TERM_IRI} as ent
+          from m)
+    select ent, count(doc) as n_docs from b group by ent
+    order by n_docs desc, ent asc limit {_TOP_K}
+"""
+
+
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK (web/kgquery.py::ask): boolean existence for a
+    satisfiable and an unsatisfiable pattern, labeled — LocalLimit(1)
+    short-circuits the scan at the first solution."""
+    from mhdb_tables2turtles_spark.web.kgquery import ask
+
+    t = _often_triples(spark, sf_dir)
+    sat = ask(t, [("?d", ":mentions", ":Spark")])
+    unsat = ask(t, [("?d", ":mentions", ":NoSuchEntity")])
+    return sat.select(
+        F.lit("mentions_spark").alias("query"), F.col("exists")
+    ).unionByName(
+        unsat.select(
+            F.lit("mentions_no_such").alias("query"), F.col("exists")
+        )
+    )
+
+
+def _sql_ask(mentions_sql: str) -> str:
+    return f"""
+    with m as materialized ({mentions_sql}),
+    b as (select distinct {_SQL_DOC_IRI} as doc, {_SQL_TERM_IRI} as ent
+          from m)
+    select 'mentions_spark' as query,
+           exists (select 1 from b where ent = ':Spark') as "exists"
+    union all
+    select 'mentions_no_such',
+           exists (select 1 from b where ent = ':NoSuchEntity')
+"""
+
+
 # --------------------------------------------------- global structure
 
 # Deterministic DIRECTED fixture over the co-mention graph: each
@@ -2440,6 +2506,8 @@ GRAPH_QUERIES = {
     "kg_scc": q_kg_scc,
     "kg_bowtie": q_kg_bowtie,
     "kg_neighborhood": q_kg_neighborhood,
+    "kg_top_entities": q_kg_top_entities,
+    "kg_ask": q_kg_ask,
 }
 
 
@@ -2495,4 +2563,6 @@ def graph_oracles(
         "kg_scc": _sql_scc(cooc_sql),
         "kg_bowtie": _sql_bowtie(cooc_sql),
         "kg_neighborhood": _sql_neighborhood(cooc_sql),
+        "kg_top_entities": _sql_top_entities(mentions_sql),
+        "kg_ask": _sql_ask(mentions_sql),
     }

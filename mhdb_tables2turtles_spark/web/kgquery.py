@@ -44,6 +44,8 @@ __all__ = [
     "property_table",
     "triple_diff",
     "latest_state",
+    "solution_modifiers",
+    "ask",
 ]
 
 
@@ -653,3 +655,83 @@ def group_solutions(
         *[F.expr(expr).alias(name) for name, expr in aggregates.items()]
     )
     return out.filter(F.expr(having)) if having else out
+
+
+def solution_modifiers(
+    solutions: DataFrame,
+    project: "Sequence[str] | None" = None,
+    order_by: "Sequence[tuple[str, str]]" = (),
+    limit: int | None = None,
+    offset: int = 0,
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL solution modifiers: ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+    / projection / ``DISTINCT``, applied in the spec's algebra order.
+
+    ``order_by`` is ``(variable, 'asc'|'desc')`` pairs.  Without
+    ``distinct``, ordering may reference non-projected variables
+    (ORDER BY evaluates before projection per the spec), so the
+    pipeline is order -> offset/limit -> project.  With ``distinct``,
+    SPARQL requires every sort key to be visible in the projection
+    (dedup happens on projected rows), so it becomes project ->
+    distinct -> order -> offset/limit, and a sort key outside the
+    projection is rejected loudly.
+
+    Plan shape — the reason this is an operator and not a ``.sort()``
+    habit: ORDER BY + LIMIT compiles to ``TakeOrderedAndProject``
+    (per-partition top-k, then a size-k merge), NEVER a global
+    range-partitioned sort — at web scale a top-10-of-10^12 costs one
+    scan plus k rows of traffic, not a full-table shuffle
+    (plan-asserted in tests/test_graph.py).  OFFSET pagination still
+    materializes offset+limit rows per partition; deep pagination
+    should keyset-paginate on the sort key instead (documented, not
+    hidden).
+    """
+    out = solutions
+    cols = set(out.columns)
+    for var, _ in order_by:
+        if var not in cols:
+            raise ValueError(f"unknown sort variable {var!r}")
+    if project:
+        missing = [v for v in project if v not in cols]
+        if missing:
+            raise ValueError(f"unknown projection variables {missing}")
+
+    def _sorted(df: DataFrame) -> DataFrame:
+        keys = [
+            F.col(v).desc() if direction == "desc" else F.col(v).asc()
+            for v, direction in order_by
+        ]
+        return df.orderBy(*keys) if keys else df
+
+    def _page(df: DataFrame) -> DataFrame:
+        if offset:
+            df = df.offset(offset)
+        return df.limit(limit) if limit is not None else df
+
+    if distinct:
+        proj = list(project) if project else list(out.columns)
+        outside = [v for v, _ in order_by if v not in proj]
+        if outside:
+            raise ValueError(
+                f"DISTINCT projection hides sort variables {outside}"
+            )
+        return _page(_sorted(out.select(*proj).distinct()))
+    out = _page(_sorted(out))
+    return out.select(*project) if project else out
+
+
+def ask(
+    triples: DataFrame,
+    patterns: "Sequence[tuple[str, str, str]]",
+    **kwargs,
+) -> DataFrame:
+    """SPARQL ASK: one boolean row — does the BGP have any solution?
+
+    Compiles the pattern with :func:`compile_bgp`, caps it at ONE row
+    BEFORE aggregating (Spark's LocalLimit short-circuits each task at
+    its first hit and the scan stops early — existence never pays for
+    the full solution set), then reduces to ``exists``.
+    """
+    sol = compile_bgp(triples, patterns, **kwargs)
+    return sol.limit(1).agg((F.count("*") > 0).alias("exists"))

@@ -1643,3 +1643,66 @@ def test_neighborhood_hll_close_to_exact(spark):
     }
     for h in exact:
         assert abs(approx[h] - exact[h]) <= max(3, int(0.15 * exact[h]))
+
+
+def test_solution_modifiers_order_limit_takeordered(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global
+    Sort+Exchange; values and ordering are correct; OFFSET pages."""
+    from mhdb_tables2turtles_spark.web.kgquery import solution_modifiers
+
+    sol = spark.createDataFrame(
+        [(f"e{i}", (i * 13) % 50) for i in range(50)], ["ent", "n"]
+    )
+    top = solution_modifiers(
+        sol, order_by=[("n", "desc"), ("ent", "asc")], limit=3
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert [r["n"] for r in top.collect()] == [49, 48, 47]
+
+    page2 = solution_modifiers(
+        sol, order_by=[("n", "desc"), ("ent", "asc")], limit=3, offset=3
+    )
+    assert [r["n"] for r in page2.collect()] == [46, 45, 44]
+
+
+def test_solution_modifiers_projection_and_distinct(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import solution_modifiers
+
+    import pytest as _pytest
+
+    sol = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z")], ["ent", "n", "doc"]
+    )
+    # ORDER BY may reference a var the projection drops (no DISTINCT)
+    out = solution_modifiers(
+        sol, project=["ent"], order_by=[("n", "desc"), ("doc", "asc")]
+    )
+    assert [r["ent"] for r in out.collect()] == ["b", "a", "a"]
+    # DISTINCT dedups projected rows
+    ded = solution_modifiers(
+        sol, project=["ent", "n"], order_by=[("n", "asc")], distinct=True
+    )
+    assert [tuple(r) for r in ded.collect()] == [("a", 1), ("b", 2)]
+    # DISTINCT + sort key outside the projection is a loud error
+    with _pytest.raises(ValueError, match="hides sort"):
+        solution_modifiers(
+            sol, project=["ent"], order_by=[("doc", "asc")], distinct=True
+        )
+    with _pytest.raises(ValueError, match="unknown sort"):
+        solution_modifiers(sol, order_by=[("nope", "asc")])
+
+
+def test_ask_existence(spark):
+    from mhdb_tables2turtles_spark.web.kgquery import ask
+
+    t = spark.createDataFrame(
+        [(":d1", ":mentions", ":Spark"), (":d1", ":label", "doc one")],
+        ["subject", "predicate", "object"],
+    )
+    assert ask(t, [("?d", ":mentions", ":Spark")]).collect()[0][
+        "exists"
+    ] is True
+    assert ask(t, [("?d", ":mentions", ":Flink")]).collect()[0][
+        "exists"
+    ] is False
