@@ -127,6 +127,7 @@ BENCH_QUERIES = (
     "kg_neighborhood",
     "kg_top_entities",
     "kg_ask",
+    "kg_filter_exists",
 )
 
 

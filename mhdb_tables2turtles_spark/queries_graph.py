@@ -2177,6 +2177,38 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_filter_exists(spark, sf_dir):
+    """SPARQL FILTER EXISTS / NOT EXISTS (web/kgquery.py::compile_bgp):
+    ``SELECT ?d ?e WHERE {{ ?d :mentions ?e
+    FILTER EXISTS {{ ?e a :Entity }}
+    FILTER NOT EXISTS {{ ?d :mentionsOften ?e }} }}`` — typed entities
+    only, minus the pairs the doc mentions often; both blocks correlate
+    on shared variables (semi/anti join on exactly those columns)."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    return compile_bgp(
+        _often_triples(spark, sf_dir, with_types=True),
+        [("?d", ":mentions", "?e")],
+        exists=[("?e", "a", ":Entity")],
+        not_exists=[("?d", ":mentionsOften", "?e")],
+    )
+
+
+def _sql_filter_exists(mentions_sql: str) -> str:
+    return f"""
+    with m as materialized ({mentions_sql}),
+    b as (select distinct {_SQL_DOC_IRI} as d, {_SQL_TERM_IRI} as e,
+                 term, n from m),
+    typed as (select distinct {_SQL_TERM_IRI} as e from m
+              where ('0x'||substr(md5(term),1,15))::BIGINT % 3 != 0),
+    often as (select distinct {_SQL_DOC_IRI} as d, {_SQL_TERM_IRI} as e
+              from m where n >= {_OFTEN_MIN_N})
+    select distinct b.d, b.e from b
+    join typed using (e)
+    anti join often using (d, e)
+"""
+
+
 _TOP_K = 5
 
 
@@ -2508,6 +2540,7 @@ GRAPH_QUERIES = {
     "kg_neighborhood": q_kg_neighborhood,
     "kg_top_entities": q_kg_top_entities,
     "kg_ask": q_kg_ask,
+    "kg_filter_exists": q_kg_filter_exists,
 }
 
 
@@ -2565,4 +2598,5 @@ def graph_oracles(
         "kg_neighborhood": _sql_neighborhood(cooc_sql),
         "kg_top_entities": _sql_top_entities(mentions_sql),
         "kg_ask": _sql_ask(mentions_sql),
+        "kg_filter_exists": _sql_filter_exists(mentions_sql),
     }

@@ -176,6 +176,8 @@ def compile_bgp(
     optional: Sequence[tuple[str, str, str]] = (),
     minus: Sequence[tuple[str, str, str]] = (),
     filters: Sequence[str] = (),
+    exists: Sequence[tuple[str, str, str]] = (),
+    not_exists: Sequence[tuple[str, str, str]] = (),
     values: "dict[str, Sequence[str]] | None" = None,
     bind: "dict[str, str] | None" = None,
     subject_col: str = "subject",
@@ -223,7 +225,20 @@ def compile_bgp(
     than the textbook literal-table join, sound because VALUES is an
     inner join in the SPARQL algebra and inner joins commute.
     Correlated multi-variable VALUES rows compose as a ``filters``
-    disjunction.  ``bind`` is SPARQL BIND — each ``alias -> SQL
+    disjunction.
+
+    ``exists`` / ``not_exists`` are SPARQL ``FILTER (NOT) EXISTS``
+    pattern blocks: a solution survives iff the block has a compatible
+    solution (correlation = equality on the variables shared with the
+    outer block), compiled as a left-SEMI / left-ANTI join on exactly
+    the shared variables — only those columns shuffle, and the block's
+    own bindings never widen the result.  The spec's divergence from
+    MINUS is preserved: with NO shared variable, EXISTS/NOT EXISTS
+    degenerate to a boolean gate on whether the block has ANY solution
+    (compiled as a 1-row LocalLimit broadcast — ``FILTER NOT EXISTS
+    {{?x ?y ?z}}`` against a non-empty graph removes everything),
+    whereas disjoint MINUS removes nothing.  ``bind`` is SPARQL BIND —
+    each ``alias -> SQL
     expression`` over in-scope variables appends a new bound column
     (row-local, zero shuffle); binds evaluate in the given order after
     FILTER, so later binds may reference earlier ones.
@@ -290,6 +305,24 @@ def compile_bgp(
             cur = cur.join(neg.select(*shared), shared, "left_anti")
     for pat in optional:
         cur = join_in(cur, pat, "left")
+    for block, keep in ((exists, True), (not_exists, False)):
+        if not block:
+            continue
+        blk = None
+        for pat in block:
+            blk = join_in(blk, pat, "inner")
+        order = [v for v in order if v in cur.columns]
+        shared = [c for c in cur.columns if c in blk.columns]
+        how = "left_semi" if keep else "left_anti"
+        if shared:
+            cur = cur.join(blk.select(*shared).distinct(), shared, how)
+        else:
+            gate = blk.limit(1).select(F.lit(1).alias("__gate"))
+            cur = (
+                cur.withColumn("__gate", F.lit(1))
+                .join(gate, "__gate", how)
+                .drop("__gate")
+            )
     for expr in filters:
         cur = cur.filter(F.expr(expr))
     for alias, expr in (bind or {}).items():

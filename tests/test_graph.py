@@ -1706,3 +1706,41 @@ def test_ask_existence(spark):
     assert ask(t, [("?d", ":mentions", ":Flink")]).collect()[0][
         "exists"
     ] is False
+
+
+def test_filter_exists_and_not_exists(spark):
+    """FILTER EXISTS/NOT EXISTS correlate on shared variables; with no
+    shared variable they gate on block non-emptiness — the spec's
+    divergence from MINUS (disjoint MINUS removes NOTHING)."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d2", ":mentions", ":B"),
+            (":A", "a", ":Entity"),
+            (":d1", ":cites", ":d2"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    base = [("?d", ":mentions", "?e")]
+
+    ex = compile_bgp(t, base, exists=[("?e", "a", ":Entity")])
+    assert {tuple(r) for r in ex.collect()} == {(":d1", ":A")}
+
+    nex = compile_bgp(t, base, not_exists=[("?e", "a", ":Entity")])
+    assert {tuple(r) for r in nex.collect()} == {(":d2", ":B")}
+
+    # no shared variable: NOT EXISTS on a satisfiable block removes ALL
+    gate = compile_bgp(t, base, not_exists=[("?x", ":cites", "?y")])
+    assert gate.count() == 0
+    # ... where the SAME block as MINUS removes nothing (disjoint)
+    mn = compile_bgp(t, base, minus=[("?x", ":cites", "?y")])
+    assert mn.count() == 2
+    # no shared variable, unsatisfiable block: EXISTS removes all,
+    # NOT EXISTS keeps all
+    assert compile_bgp(t, base, exists=[("?x", ":nope", "?y")]).count() == 0
+    assert (
+        compile_bgp(t, base, not_exists=[("?x", ":nope", "?y")]).count()
+        == 2
+    )
