@@ -83,9 +83,19 @@ AUDIT = (
     "kg_assortativity",
     "kg_named_graphs",
     "kg_values_bind",
+    # round-4d: global structure + SPARQL modifiers/existence
+    "kg_scc",
+    "kg_bowtie",
+    "kg_top_entities",
+    "kg_ask",
+    "kg_filter_exists",
 )
 
 CHECKS = {
+    # ORDER BY + LIMIT must be a top-k, never a global sort shuffle
+    "kg_top_entities": ["TakeOrderedAndProject"],
+    # EXISTS/NOT EXISTS are semi/anti joins on the shared variables
+    "kg_filter_exists": ["LeftSemi", "LeftAnti"],
     "nation_revenue": ["BroadcastHashJoin", "PushedFilters"],
     "sheet_nation_triples": ["BroadcastHashJoin"],
     "pricing_summary": ["HashAggregate"],  # partial agg before Exchange; codegen not rendered in AQE formatted output pre-execution
