@@ -128,6 +128,7 @@ BENCH_QUERIES = (
     "kg_top_entities",
     "kg_ask",
     "kg_filter_exists",
+    "kg_subquery",
 )
 
 

@@ -2177,6 +2177,47 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery: ``SELECT ?ent ?n_docs WHERE {{
+    {{ SELECT ?ent (COUNT(?doc) AS ?n_docs)
+       WHERE {{ ?doc :mentions ?ent }} GROUP BY ?ent }}
+    FILTER (?n_docs > <corpus mean>) }}`` — entities mentioned more
+    often than average.  Subqueries need no new operator: compiled
+    solution sets ARE DataFrames, so a subselect is ordinary
+    composition; the scalar aggregate is the intended 1-row broadcast
+    cross join, and the mean comparison cross-multiplies exact BIGINTs
+    (``n_docs * k > total``) so no division enters the oracle hash."""
+    from mhdb_tables2turtles_spark.web.kgquery import (
+        compile_bgp,
+        group_solutions,
+    )
+
+    b = compile_bgp(
+        _often_triples(spark, sf_dir), [("?doc", ":mentions", "?ent")]
+    )
+    g = group_solutions(b, ["ent"], {"n_docs": "count(doc)"})
+    tot = g.agg(
+        F.sum("n_docs").alias("__t"), F.count("*").alias("__k")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_docs") * F.col("__k") > F.col("__t"))
+        .select("ent", "n_docs")
+    )
+
+
+def _sql_subquery(mentions_sql: str) -> str:
+    return f"""
+    with m as ({mentions_sql}),
+    b as (select distinct {_SQL_DOC_IRI} as doc, {_SQL_TERM_IRI} as ent
+          from m),
+    g as (select ent, count(doc) as n_docs from b group by ent),
+    t as (select sum(n_docs) as t, count(*) as k from g)
+    select ent, cast(n_docs as bigint) as n_docs
+    from g, t where n_docs * k > t
+"""
+
+
 def q_kg_filter_exists(spark, sf_dir):
     """SPARQL FILTER EXISTS / NOT EXISTS (web/kgquery.py::compile_bgp):
     ``SELECT ?d ?e WHERE {{ ?d :mentions ?e
@@ -2541,6 +2582,7 @@ GRAPH_QUERIES = {
     "kg_top_entities": q_kg_top_entities,
     "kg_ask": q_kg_ask,
     "kg_filter_exists": q_kg_filter_exists,
+    "kg_subquery": q_kg_subquery,
 }
 
 
@@ -2599,4 +2641,5 @@ def graph_oracles(
         "kg_top_entities": _sql_top_entities(mentions_sql),
         "kg_ask": _sql_ask(mentions_sql),
         "kg_filter_exists": _sql_filter_exists(mentions_sql),
+        "kg_subquery": _sql_subquery(mentions_sql),
     }
