@@ -129,6 +129,7 @@ BENCH_QUERIES = (
     "kg_ask",
     "kg_filter_exists",
     "kg_subquery",
+    "kg_shacl_path",
 )
 
 

@@ -2177,6 +2177,42 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+def q_kg_shacl_path(spark, sf_dir):
+    """SHACL sh:path validation (web/shapes.py::validate_shapes with a
+    property-path shape): every doc must have >= 1 TYPED often-mention
+    — value nodes are ``:mentionsOften/a`` path pairs, so docs whose
+    frequent mentions are all untyped (or that have none) violate
+    minCount.  Targets pin the focus universe to all docs."""
+    from mhdb_tables2turtles_spark.web.paths import pred, seq
+    from mhdb_tables2turtles_spark.web.shapes import validate_shapes
+
+    t = _often_triples(spark, sf_dir, with_types=True)
+    docs = (
+        t.filter(F.col("predicate") == ":mentions")
+        .select(F.col("subject").alias("focus"))
+        .distinct()
+    )
+    shape = {
+        "predicate": ":oftenTypedMention",
+        "path": seq(pred(":mentionsOften"), pred("a")),
+        "min_count": 1,
+    }
+    return validate_shapes(t, [shape], targets=docs)
+
+
+def _sql_shacl_path(mentions_sql: str) -> str:
+    return f"""
+    with m as materialized ({mentions_sql}),
+    f as (select distinct {_SQL_DOC_IRI} as focus from m),
+    otm as (select distinct {_SQL_DOC_IRI} as s from m
+            where n >= {_OFTEN_MIN_N}
+              and ('0x'||substr(md5(term),1,15))::BIGINT % 3 != 0)
+    select focus, ':oftenTypedMention' as predicate,
+           'minCount' as component, '0' as value
+    from f where focus not in (select s from otm)
+"""
+
+
 def q_kg_subquery(spark, sf_dir):
     """SPARQL 1.1 subquery: ``SELECT ?ent ?n_docs WHERE {{
     {{ SELECT ?ent (COUNT(?doc) AS ?n_docs)
@@ -2583,6 +2619,7 @@ GRAPH_QUERIES = {
     "kg_ask": q_kg_ask,
     "kg_filter_exists": q_kg_filter_exists,
     "kg_subquery": q_kg_subquery,
+    "kg_shacl_path": q_kg_shacl_path,
 }
 
 
@@ -2642,4 +2679,5 @@ def graph_oracles(
         "kg_ask": _sql_ask(mentions_sql),
         "kg_filter_exists": _sql_filter_exists(mentions_sql),
         "kg_subquery": _sql_subquery(mentions_sql),
+        "kg_shacl_path": _sql_shacl_path(mentions_sql),
     }

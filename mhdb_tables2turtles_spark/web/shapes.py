@@ -76,11 +76,52 @@ def validate_shapes(
     predicates — note that a subject appearing ONLY under unconstrained
     predicates is then outside the universe, so ``min_count`` does not
     fire for it (pass explicit ``targets`` for strict targeting).
+
+    A shape may carry ``path`` — a property-path AST from
+    :mod:`~mhdb_tables2turtles_spark.web.paths` (SHACL ``sh:path``
+    beyond a plain predicate): the shape's value nodes become the
+    path-reachable pairs from :func:`~mhdb_tables2turtles_spark.web
+    .paths.eval_path`, materialized ONCE per shape as virtual
+    ``(focus, <label>, value)`` edges and unioned into the constraint
+    base, so every constraint component (cardinality / in / nodeKind /
+    class) applies to path shapes unchanged.  The shape's
+    ``predicate`` is then only the REPORT LABEL and must not collide
+    with a plain constrained predicate.  Scale posture is the path
+    engine's own: each step predicate-prunes on the store layout,
+    closures are semi-naive.
     """
     if not shapes:
         raise ValueError("validate_shapes needs at least one shape")
-    preds = sorted({s["predicate"] for s in shapes})
-    base = triples.filter(F.col("predicate").isin(*preds))
+    plain = [s for s in shapes if not s.get("path")]
+    pathy = [s for s in shapes if s.get("path")]
+    plain_preds = sorted({s["predicate"] for s in plain})
+    labels = {s["predicate"] for s in pathy}
+    if labels & set(plain_preds):
+        raise ValueError(
+            "sh:path report label collides with a constrained "
+            f"predicate: {sorted(labels & set(plain_preds))}"
+        )
+    parts = []
+    if plain:
+        parts.append(
+            triples.filter(F.col("predicate").isin(*plain_preds)).select(
+                "subject", "predicate", "object"
+            )
+        )
+    if pathy:
+        from mhdb_tables2turtles_spark.web.paths import eval_path
+
+        for s in pathy:
+            parts.append(
+                eval_path(triples, s["path"]).select(
+                    F.col("src").alias("subject"),
+                    F.lit(s["predicate"]).alias("predicate"),
+                    F.col("dst").alias("object"),
+                )
+            )
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
     typed = None
     if any(s.get("object_class") for s in shapes):
         typed = triples.filter(F.col("predicate") == type_pred).select(

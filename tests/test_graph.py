@@ -1848,3 +1848,42 @@ def test_scc_and_bowtie_random_vs_kosaraju(spark):
         for r in bowtie_decomposition(e).collect()
     }
     assert got_bt == expected
+
+
+def test_shacl_path_shape(spark):
+    """sh:path shapes: value nodes come from a property-path evaluation
+    (here :mentions/a — 'type of any mentioned entity'); docs whose
+    mentions are all untyped violate minCount; label collisions with a
+    plain constrained predicate are loud errors."""
+    import pytest as _pytest
+
+    from mhdb_tables2turtles_spark.web.paths import pred, seq
+    from mhdb_tables2turtles_spark.web.shapes import validate_shapes
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d2", ":mentions", ":B"),
+            (":A", "a", ":Entity"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    docs = spark.createDataFrame([(":d1",), (":d2",)], ["focus"])
+    shape = {
+        "predicate": ":typedMention",
+        "path": seq(pred(":mentions"), pred("a")),
+        "min_count": 1,
+    }
+    rep = validate_shapes(t, [shape], targets=docs).collect()
+    assert [tuple(r) for r in rep] == [
+        (":d2", ":typedMention", "minCount", "0")
+    ]
+    with _pytest.raises(ValueError, match="collides"):
+        validate_shapes(
+            t,
+            [
+                {"predicate": ":mentions", "min_count": 1},
+                {"predicate": ":mentions", "path": seq(pred(":mentions"), pred("a"))},
+            ],
+            targets=docs,
+        )
