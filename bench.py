@@ -130,6 +130,7 @@ BENCH_QUERIES = (
     "kg_filter_exists",
     "kg_subquery",
     "kg_shacl_path",
+    "kg_walks",
 )
 
 

@@ -2177,6 +2177,68 @@ def _sql_values_bind(cooc_sql: str, triples_sql: str) -> str:
 """
 
 
+_WALK_LEN = 4
+_WALKS_PER_NODE = 2
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (web/walks.py::random_walks) —
+    the DeepWalk/node2vec training-sentence generator — over the sparse
+    co-mention subgraph; hash-seeded steps make the corpus reproducible
+    across runs, partitionings, and engines."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.walks import random_walks
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).filter(
+        hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+    )
+    return random_walks(
+        edges, walk_len=_WALK_LEN, walks_per_node=_WALKS_PER_NODE
+    )
+
+
+def _sql_walks(cooc_sql: str) -> str:
+    seeds = " union all ".join(
+        f"select node||'#{w}' as walk_id, node as cur, node as path from n"
+        for w in range(_WALKS_PER_NODE)
+    )
+    parts = [
+        f"""with e0 as materialized (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+              and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                      % 3 = 0
+        ),
+        b as (select term_a as node, term_b as nbr from e0
+              union select term_b, term_a from e0),
+        adj as materialized (
+            select node, nbr,
+                   row_number() over (partition by node order by nbr)
+                       - 1 as idx
+            from b),
+        deg as materialized (
+            select node, count(*) as deg from adj group by node),
+        n as (select node from deg),
+        w0 as ({seeds})"""
+    ]
+    for i in range(1, _WALK_LEN + 1):
+        parts.append(
+            f"""w{i} as (
+            select w.walk_id, adj.nbr as cur,
+                   w.path||'->'||adj.nbr as path
+            from w{i-1} w
+            join deg on deg.node = w.cur
+            join adj on adj.node = w.cur
+             and adj.idx = ('0x'||substr(md5(
+                     w.walk_id||'|'||w.cur||'|{i-1}'),1,15))::BIGINT
+                 % deg.deg)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect walk_id, path from w{_WALK_LEN}"
+    )
+
+
 def q_kg_shacl_path(spark, sf_dir):
     """SHACL sh:path validation (web/shapes.py::validate_shapes with a
     property-path shape): every doc must have >= 1 TYPED often-mention
@@ -2620,6 +2682,7 @@ GRAPH_QUERIES = {
     "kg_filter_exists": q_kg_filter_exists,
     "kg_subquery": q_kg_subquery,
     "kg_shacl_path": q_kg_shacl_path,
+    "kg_walks": q_kg_walks,
 }
 
 
@@ -2680,4 +2743,5 @@ def graph_oracles(
         "kg_filter_exists": _sql_filter_exists(mentions_sql),
         "kg_subquery": _sql_subquery(mentions_sql),
         "kg_shacl_path": _sql_shacl_path(mentions_sql),
+        "kg_walks": _sql_walks(cooc_sql),
     }

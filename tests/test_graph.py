@@ -1887,3 +1887,30 @@ def test_shacl_path_shape(spark):
             ],
             targets=docs,
         )
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks are reproducible across runs/partitionings, follow real
+    edges, and have exactly walk_len+1 nodes."""
+    from mhdb_tables2turtles_spark.web.walks import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    got1 = {r["walk_id"]: r["path"] for r in random_walks(e, 3, 2).collect()}
+    got2 = {
+        r["walk_id"]: r["path"]
+        for r in random_walks(e.repartition(7), 3, 2).collect()
+    }
+    assert got1 == got2  # deterministic under reshuffle
+    assert len(got1) == 4 * 2  # every node x walks_per_node
+    for wid, path in got1.items():
+        nodes = path.split("->")
+        assert len(nodes) == 4
+        assert nodes[0] == wid.split("#")[0]
+        for a, b in zip(nodes, nodes[1:]):
+            assert b in adj[a]  # each hop is a real edge
