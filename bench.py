@@ -131,6 +131,7 @@ BENCH_QUERIES = (
     "kg_subquery",
     "kg_shacl_path",
     "kg_walks",
+    "kg_skipgram",
 )
 
 

@@ -2197,13 +2197,15 @@ def q_kg_walks(spark, sf_dir):
     )
 
 
-def _sql_walks(cooc_sql: str) -> str:
+def _sql_walks_cte(cooc_sql: str) -> str:
+    """The shared walk-corpus CTE chain (everything up to w{_WALK_LEN}),
+    reused by the kg_walks and kg_skipgram oracles."""
     seeds = " union all ".join(
         f"select node||'#{w}' as walk_id, node as cur, node as path from n"
         for w in range(_WALKS_PER_NODE)
     )
     parts = [
-        f"""with e0 as materialized (
+        f"""e0 as materialized (
             select term_a, term_b from ({cooc_sql})
             where n_docs >= {_PR_MIN_DOCS}
               and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
@@ -2233,10 +2235,46 @@ def _sql_walks(cooc_sql: str) -> str:
                      w.walk_id||'|'||w.cur||'|{i-1}'),1,15))::BIGINT
                  % deg.deg)"""
         )
+    return ",\n".join(parts)
+
+
+def _sql_walks(cooc_sql: str) -> str:
     return (
-        ",\n".join(parts)
+        "with "
+        + _sql_walks_cte(cooc_sql)
         + f"\nselect walk_id, path from w{_WALK_LEN}"
     )
+
+
+_SKIPGRAM_WINDOW = 2
+
+
+def q_kg_skipgram(spark, sf_dir):
+    """Skip-gram training pairs (web/walks.py::skipgram_pairs) over the
+    kg_walks corpus — the actual DeepWalk deliverable: (center,
+    context) co-occurrences within a +/-2 window, corpus-aggregated."""
+    from mhdb_tables2turtles_spark.web.walks import skipgram_pairs
+
+    return skipgram_pairs(
+        q_kg_walks(spark, sf_dir), window=_SKIPGRAM_WINDOW
+    )
+
+
+def _sql_skipgram(cooc_sql: str) -> str:
+    return f"""
+    with {_sql_walks_cte(cooc_sql)},
+    toks as materialized (
+        select walk_id, arr[i] as node, i
+        from (select walk_id, string_split(path, '->') as arr
+              from w{_WALK_LEN}),
+             unnest(generate_series(1, {_WALK_LEN + 1})) as s(i)
+    )
+    select a.node as center, b.node as context,
+           cast(count(*) as bigint) as n_pairs
+    from toks a join toks b using (walk_id)
+    where a.i != b.i and abs(a.i - b.i) <= {_SKIPGRAM_WINDOW}
+    group by a.node, b.node
+"""
 
 
 def q_kg_shacl_path(spark, sf_dir):
@@ -2683,6 +2721,7 @@ GRAPH_QUERIES = {
     "kg_subquery": q_kg_subquery,
     "kg_shacl_path": q_kg_shacl_path,
     "kg_walks": q_kg_walks,
+    "kg_skipgram": q_kg_skipgram,
 }
 
 
@@ -2744,4 +2783,5 @@ def graph_oracles(
         "kg_subquery": _sql_subquery(mentions_sql),
         "kg_shacl_path": _sql_shacl_path(mentions_sql),
         "kg_walks": _sql_walks(cooc_sql),
+        "kg_skipgram": _sql_skipgram(cooc_sql),
     }

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from mhdb_tables2turtles_spark.ops.common import hash60
 
-__all__ = ["random_walks"]
+__all__ = ["random_walks", "skipgram_pairs"]
 
 
 def random_walks(
@@ -116,3 +116,36 @@ def random_walks(
             F.concat_ws("->", "path", "nbr").alias("path"),
         )
     return walks.select("walk_id", "path")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """``(center, context, n_pairs)`` — the skip-gram training pairs a
+    DeepWalk pipeline actually feeds to the embedding trainer: every
+    (position i, position j) co-occurrence with 0 < |i - j| <=
+    ``window`` inside one walk, aggregated over the whole corpus.
+
+    ONE posexplode + a self-join keyed on walk_id (walks are
+    fixed-length and walk ids uniform, so the join is skew-free with
+    per-key fan-out bounded by (walk_len+1)^2) + ONE aggregation with
+    map-side partials.  ``walks`` is the (walk_id, path) output of
+    :func:`random_walks`.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = walks.select(
+        "walk_id",
+        F.posexplode(F.split("path", "->")).alias("i", "node"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("a.i") != F.col("b.i"))
+            & (F.abs(F.col("a.i") - F.col("b.i")) <= window)
+        )
+        .groupBy(
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
