@@ -132,6 +132,7 @@ BENCH_QUERIES = (
     "kg_shacl_path",
     "kg_walks",
     "kg_skipgram",
+    "text_kn_lm",
 )
 
 

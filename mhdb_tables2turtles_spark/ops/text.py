@@ -19,6 +19,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "lm_surprise",
+    "kn_bigram_lm",
     "LANG_MARKERS",
 ]
 
@@ -217,4 +218,84 @@ def lm_surprise(docs: DataFrame, head_k: int = LM_HEAD_K) -> DataFrame:
     return resolved.groupBy("doc_id").agg(
         F.sum("m").alias("n_bigrams"),
         F.sum(F.col("m") * F.col("unit")).alias("surprise"),
+    )
+
+
+KN_MIN_COUNT = 3
+
+
+def kn_bigram_lm(
+    docs: DataFrame,
+    min_count: int = KN_MIN_COUNT,
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM, trained distributed — the
+    actual n-gram LM estimator (Kneser & Ney 1995 / Chen & Goodman
+    1999) behind CCNet-style perplexity filtering, where
+    :func:`lm_surprise`'s add-one proxy is the cheap stand-in:
+    ``(w1, w2, c12, p_micro)`` for every corpus bigram with
+    ``c12 >= min_count``.
+
+    With discount D = ``discount_num / discount_den`` (default the
+    standard 0.75)::
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1·)
+                   + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / N1+(··))
+
+    where c(w1·) sums bigram counts with left context w1, N1+(w1·) /
+    N1+(·w2) are distinct right/left continuation counts, and N1+(··)
+    is the distinct bigram-type total — the continuation-probability
+    backoff that makes KN the strong n-gram baseline.  Everything is
+    exact integer arithmetic over one common denominator with a single
+    final floor::
+
+        p_micro = (SCALE·((den·c12 − num)·T + num·nf1·np2))
+                      div (den·c1·T)
+
+    so the DuckDB oracle is value-exact.  Overflow bound: the numerator
+    is < SCALE·den·c12·T + SCALE·num·nf1·np2 ≲ 4·10^6·c12·T; int64
+    holds while c12·T < 2·10^12 — beyond that, rescale SCALE down or
+    move to decimal(38) (documented, loud if hit: Spark overflows to
+    error under ANSI, the tests pin exact values).
+
+    Scale shape: every count table here is TYPE-level (one row per
+    distinct bigram / token), so the Zipf instance skew that needed
+    :func:`lm_surprise`'s head/tail split never enters — c12 ⋈ c1 and
+    c12 ⋈ np2 are joins between aggregates, fan-out = types per word,
+    handled by AQE skew split.  The only broadcast is the single-row
+    type total T.
+    """
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    c12 = (
+        tk.select(F.explode(shingles(F.col("toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c12"))
+        .select(
+            F.split(F.col("gram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("gram"), " ").getItem(1).alias("w2"),
+            "c12",
+        )
+        .localCheckpoint(eager=False)
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nf1")
+    )
+    right = c12.groupBy("w2").agg(F.count("*").alias("np2"))
+    types = c12.select(F.count("*").alias("T"))
+    num, den = discount_num, discount_den
+    return (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .filter(F.col("c12") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                f"({LM_SCALE} * (({den} * c12 - {num}) * T"
+                f" + {num} * nf1 * np2)) div ({den} * c1 * T)"
+            ).alias("p_micro"),
+        )
     )

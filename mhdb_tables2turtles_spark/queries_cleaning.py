@@ -721,6 +721,35 @@ _SQL_HOST_QUANTILES = f"""
 """
 
 
+def q_text_kn_lm(spark, sf_dir):
+    """Distributed interpolated Kneser-Ney bigram LM training
+    (ops/text.py::kn_bigram_lm) — exact fixed-point probabilities for
+    every corpus bigram with count >= 3."""
+    from mhdb_tables2turtles_spark.ops.text import kn_bigram_lm
+
+    return kn_bigram_lm(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_KN_LM = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    g as (select unnest(list_transform(
+              generate_series(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]
+          )) as gram from t),
+    c12 as (select w1, w2, count(*) as c12
+            from (select string_split(gram, ' ')[1] as w1,
+                         string_split(gram, ' ')[2] as w2 from g)
+            group by w1, w2),
+    l as (select w1, sum(c12) as c1, count(*) as nf1 from c12 group by w1),
+    r as (select w2, count(*) as np2 from c12 group by w2),
+    ty as (select count(*) as T from c12)
+    select w1, w2, cast(c12 as bigint) as c12,
+           cast((1000000 * ((4 * c12 - 3) * T + 3 * nf1 * np2))
+                // (4 * c1 * T) as bigint) as p_micro
+    from c12 join l using (w1) join r using (w2) cross join ty
+    where c12 >= 3
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -735,6 +764,7 @@ CLEANING_QUERIES = {
     "decontaminate": q_decontaminate,
     "url_canonical": q_url_canonical,
     "text_lm_surprise": q_text_lm_surprise,
+    "text_kn_lm": q_text_kn_lm,
     "doi_datacite": q_doi_datacite,
     "mix_weights": q_mix_weights,
     "corpus_curation": q_corpus_curation,
@@ -756,6 +786,7 @@ def cleaning_oracles() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "url_canonical": _SQL_URL_CANONICAL,
         "text_lm_surprise": _SQL_LM_SURPRISE,
+        "text_kn_lm": _SQL_KN_LM,
         "doi_datacite": _SQL_DOI_DATACITE,
         "mix_weights": _SQL_MIX_WEIGHTS,
         "corpus_curation": _sql_corpus_curation(),

@@ -311,3 +311,46 @@ def test_line_repetition_crafted(spark):
     # chars: nav menu(8)*2=16 dup, total 16+13+6=35
     assert r1.dup_char_bp == (10000 * 16) // 35
     assert (got[2].dup_line_bp, got[2].dup_char_bp) == (0, 0)
+
+
+def test_kn_bigram_lm_matches_hand_formula(spark):
+    """kn_bigram_lm equals the interpolated KN formula computed in
+    plain Python over the same counts, and every probability is a
+    valid fixed-point value in (0, SCALE]."""
+    from collections import Counter
+
+    from mhdb_tables2turtles_spark.ops.text import LM_SCALE, kn_bigram_lm
+
+    texts = ["a b a b a c", "a b c a b", "c a b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["p_micro"])
+        for r in kn_bigram_lm(docs, min_count=1).collect()
+    }
+
+    c12 = Counter()
+    for t in texts:
+        ts = t.split()
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    nf1 = Counter()
+    np2 = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nf1[a] += 1
+        np2[b] += 1
+    T = len(c12)
+    for (a, b), c in c12.items():
+        expect = (LM_SCALE * ((4 * c - 3) * T + 3 * nf1[a] * np2[b])) // (
+            4 * c1[a] * T
+        )
+        assert got[(a, b)] == (c, expect), (a, b)
+        assert 0 < expect <= LM_SCALE
+    # interpolated KN sums to 1 over the full vocab per context; over
+    # the OBSERVED continuations it must stay strictly below SCALE for
+    # a context with unseen continuations ('c' never precedes 'c')
+    mass_c = sum(p for (a, _), (_, p) in got.items() if a == "c")
+    assert mass_c < LM_SCALE
