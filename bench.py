@@ -133,6 +133,7 @@ BENCH_QUERIES = (
     "kg_walks",
     "kg_skipgram",
     "text_kn_lm",
+    "text_bpe",
 )
 
 

@@ -1,0 +1,98 @@
+"""Distributed BPE merge training (Sennrich et al., ACL 2016) — the
+tokenizer-training step of an LLM data pipeline, learned from the
+corpus the rest of this package cleans and dedups.
+
+Scale insight that makes BPE trainable at 10^12 documents: the
+algorithm never needs the corpus after ONE word-count aggregation.
+Training state is the DISTINCT-WORD table weighted by frequency —
+Zipf-bounded (~10^6-10^8 types at web scale, vs 10^14 tokens), so
+every merge round is a vocabulary-sized job: one pair-count
+aggregation (map-side partials over the word table) + one row-local
+merge application.  The only driver-side data is the single best pair
+per round (K one-row collects, same K-sized-collect stance as
+ops/ivf.py's centroids).
+
+Determinism / oracle portability: a word's symbol sequence is encoded
+as a DOUBLE-SPACE-joined string ("h  e  l  l  o").  Applying merge
+(a, b) is then a literal ``replace(ws, 'a  b', 'ab')``: because the
+separator is consumed entirely by the match, left-to-right
+non-overlapping replacement — the semantics both Spark's ``replace``
+and DuckDB's ``replace`` guarantee — equals greedy left-to-right BPE
+merging exactly ("a  a  a  a" -> "aa  aa", not "aa  a  a").  Ties on
+pair frequency break by the pair string ascending, so the learned
+merge table is a pure function of the corpus on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhdb_tables2turtles_spark.ops.common import tokens
+
+__all__ = ["bpe_train"]
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """``(rank, left, right, freq)`` — the first ``n_merges`` BPE merge
+    rules learned from the corpus' normalized token stream, in learning
+    order; ``freq`` is the merged pair's weighted frequency at the time
+    it was chosen.  Stops early (fewer rows) if the vocabulary runs out
+    of pairs.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat_ws(
+                "  ",
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                ),
+            ).alias("ws"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        arr = F.split(F.col("ws"), "  ")
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(split(ws, '  ')) - 1),"
+                        " i -> concat(element_at(split(ws, '  '), i),"
+                        " '  ', element_at(split(ws, '  '), i + 1)))"
+                    ),
+                ).otherwise(F.array())
+            ).alias("pair"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, freq = best[0]["pair"], int(best[0]["c"])
+        left, right = pair.split("  ")
+        merges.append((r, left, right, freq))
+        words = words.select(
+            F.replace(
+                F.col("ws"), F.lit(pair), F.lit(left + right)
+            ).alias("ws"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )

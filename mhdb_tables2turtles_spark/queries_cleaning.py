@@ -750,6 +750,127 @@ _SQL_KN_LM = f"""
 """
 
 
+
+def q_text_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training (ops/bpe.py::bpe_train):
+    first 5 merge rules learned from the corpus word table."""
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_train
+
+    return bpe_train(_read_spread(spark, sf_dir, "documents"), n_merges=5)
+
+
+_SQL_BPE = f"""
+    with w0 as materialized (
+        select array_to_string(
+                   list_transform(generate_series(1, len(w)),
+                                  i -> w[i]), '  ') as ws,
+               n
+        from (select w, count(*) as n
+              from (select unnest({_TOKS}) as w from documents)
+              group by w)
+    ),
+    p1 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w0)
+        ) group by pair
+    ),
+    b1 as materialized (
+        select pair, c from p1 order by c desc, pair limit 1
+    ),
+    w1 as materialized (
+        select replace(ws, (select pair from b1),
+                       replace((select pair from b1), '  ', '')) as ws, n
+        from w0
+    ),
+    p2 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w1)
+        ) group by pair
+    ),
+    b2 as materialized (
+        select pair, c from p2 order by c desc, pair limit 1
+    ),
+    w2 as materialized (
+        select replace(ws, (select pair from b2),
+                       replace((select pair from b2), '  ', '')) as ws, n
+        from w1
+    ),
+    p3 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w2)
+        ) group by pair
+    ),
+    b3 as materialized (
+        select pair, c from p3 order by c desc, pair limit 1
+    ),
+    w3 as materialized (
+        select replace(ws, (select pair from b3),
+                       replace((select pair from b3), '  ', '')) as ws, n
+        from w2
+    ),
+    p4 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w3)
+        ) group by pair
+    ),
+    b4 as materialized (
+        select pair, c from p4 order by c desc, pair limit 1
+    ),
+    w4 as materialized (
+        select replace(ws, (select pair from b4),
+                       replace((select pair from b4), '  ', '')) as ws, n
+        from w3
+    ),
+    p5 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w4)
+        ) group by pair
+    ),
+    b5 as materialized (
+        select pair, c from p5 order by c desc, pair limit 1
+    ),
+    w5 as materialized (
+        select replace(ws, (select pair from b5),
+                       replace((select pair from b5), '  ', '')) as ws, n
+        from w4
+    )
+    select 1 as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b1
+    union all
+    select 2 as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b2
+    union all
+    select 3 as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b3
+    union all
+    select 4 as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b4
+    union all
+    select 5 as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b5
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -765,6 +886,7 @@ CLEANING_QUERIES = {
     "url_canonical": q_url_canonical,
     "text_lm_surprise": q_text_lm_surprise,
     "text_kn_lm": q_text_kn_lm,
+    "text_bpe": q_text_bpe,
     "doi_datacite": q_doi_datacite,
     "mix_weights": q_mix_weights,
     "corpus_curation": q_corpus_curation,
@@ -787,6 +909,7 @@ def cleaning_oracles() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "text_lm_surprise": _SQL_LM_SURPRISE,
         "text_kn_lm": _SQL_KN_LM,
+        "text_bpe": _SQL_BPE,
         "doi_datacite": _SQL_DOI_DATACITE,
         "mix_weights": _SQL_MIX_WEIGHTS,
         "corpus_curation": _sql_corpus_curation(),

@@ -354,3 +354,55 @@ def test_kn_bigram_lm_matches_hand_formula(spark):
     # a context with unseen continuations ('c' never precedes 'c')
     mass_c = sum(p for (a, _), (_, p) in got.items() if a == "c")
     assert mass_c < LM_SCALE
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train equals a plain-Python greedy BPE reference (same
+    tie-break: count desc, pair string asc) on a mixed corpus."""
+    from collections import Counter
+
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest new low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    wc = Counter(w for t in texts for w in t.split())
+    words = {tuple(w): n for w, n in wc.items()}
+    expected = []
+    for r in range(1, 6):
+        pc = Counter()
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "  " + kv[0][1])
+        )
+        expected.append((r, a, b, c))
+        merged = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + n
+        words = merged
+
+    got = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
