@@ -134,6 +134,7 @@ BENCH_QUERIES = (
     "kg_skipgram",
     "text_kn_lm",
     "text_bpe",
+    "text_bpe_encode",
 )
 
 

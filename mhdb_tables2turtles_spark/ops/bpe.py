@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from mhdb_tables2turtles_spark.ops.common import tokens
 
-__all__ = ["bpe_train"]
+__all__ = ["bpe_train", "bpe_encode"]
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
@@ -95,4 +95,56 @@ def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq long"
+    )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """``(doc_id, n_words, n_bpe_tokens)`` — tokenize the corpus with
+    the ``n_merges``-rule BPE vocabulary learned from it (train +
+    apply, the full Sennrich loop): per document, its word count and
+    its symbol count under the learned merges — the "how many tokens
+    is this corpus" question every LLM data budget starts with.
+
+    Scale shape mirrors :func:`bpe_train`: merges apply on the
+    DISTINCT word-TYPE table (row-local chained literal replaces, one
+    per rule), and the per-document totals come from joining the
+    (doc_id, word, m) counts to the type table on the uniform word key
+    and aggregating ``sum(m · symbols(word))`` — the corpus text is
+    read once and never re-tokenized per rule.  The learned rules ride
+    along as a K-row driver list (same stance as the trainer).
+    """
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges).orderBy("rank").collect()
+    ]
+    dw = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("m"))
+    )
+    types = dw.select("w").distinct().select(
+        "w",
+        F.concat_ws(
+            "  ",
+            F.expr(
+                "transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1))"
+            ),
+        ).alias("ws"),
+    )
+    for left, right in rules:
+        types = types.select(
+            "w",
+            F.replace(
+                F.col("ws"), F.lit(left + "  " + right), F.lit(left + right)
+            ).alias("ws"),
+        )
+    types = types.select(
+        "w", F.size(F.split(F.col("ws"), "  ")).alias("syms")
+    )
+    return dw.join(types, "w").groupBy("doc_id").agg(
+        F.sum("m").alias("n_words"),
+        F.sum(F.col("m") * F.col("syms")).alias("n_bpe_tokens"),
     )

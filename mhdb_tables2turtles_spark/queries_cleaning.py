@@ -871,6 +871,123 @@ _SQL_BPE = f"""
 """
 
 
+
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE train + apply (ops/bpe.py::bpe_encode): per-doc word and
+    BPE-token counts under the corpus-learned 5-rule vocabulary."""
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_encode
+
+    return bpe_encode(_read_spread(spark, sf_dir, "documents"), n_merges=5)
+
+
+_SQL_BPE_ENCODE = f"""
+    with dw as materialized (
+        select doc_id, w, count(*) as m
+        from (select doc_id, unnest({_TOKS}) as w from documents)
+        group by doc_id, w
+    ),
+    w0 as materialized (
+        select w,
+               array_to_string(
+                   list_transform(generate_series(1, len(w)),
+                                  i -> w[i]), '  ') as ws,
+               n
+        from (select w, sum(m) as n from dw group by w)
+    ),
+    p1 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w0)
+        ) group by pair
+    ),
+    b1 as materialized (
+        select pair, c from p1 order by c desc, pair limit 1
+    ),
+    w1 as materialized (
+        select w, replace(ws, (select pair from b1),
+                          replace((select pair from b1), '  ', '')) as ws,
+               n
+        from w0
+    ),
+    p2 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w1)
+        ) group by pair
+    ),
+    b2 as materialized (
+        select pair, c from p2 order by c desc, pair limit 1
+    ),
+    w2 as materialized (
+        select w, replace(ws, (select pair from b2),
+                          replace((select pair from b2), '  ', '')) as ws,
+               n
+        from w1
+    ),
+    p3 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w2)
+        ) group by pair
+    ),
+    b3 as materialized (
+        select pair, c from p3 order by c desc, pair limit 1
+    ),
+    w3 as materialized (
+        select w, replace(ws, (select pair from b3),
+                          replace((select pair from b3), '  ', '')) as ws,
+               n
+        from w2
+    ),
+    p4 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w3)
+        ) group by pair
+    ),
+    b4 as materialized (
+        select pair, c from p4 order by c desc, pair limit 1
+    ),
+    w4 as materialized (
+        select w, replace(ws, (select pair from b4),
+                          replace((select pair from b4), '  ', '')) as ws,
+               n
+        from w3
+    ),
+    p5 as materialized (
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from w4)
+        ) group by pair
+    ),
+    b5 as materialized (
+        select pair, c from p5 order by c desc, pair limit 1
+    ),
+    w5 as materialized (
+        select w, replace(ws, (select pair from b5),
+                          replace((select pair from b5), '  ', '')) as ws,
+               n
+        from w4
+    ),
+    ty as (select w, len(string_split(ws, '  ')) as syms from w5)
+    select doc_id,
+           cast(sum(m) as bigint) as n_words,
+           cast(sum(m * syms) as bigint) as n_bpe_tokens
+    from dw join ty using (w)
+    group by doc_id
+"""
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -887,6 +1004,7 @@ CLEANING_QUERIES = {
     "text_lm_surprise": q_text_lm_surprise,
     "text_kn_lm": q_text_kn_lm,
     "text_bpe": q_text_bpe,
+    "text_bpe_encode": q_text_bpe_encode,
     "doi_datacite": q_doi_datacite,
     "mix_weights": q_mix_weights,
     "corpus_curation": q_corpus_curation,
@@ -910,6 +1028,7 @@ def cleaning_oracles() -> dict[str, str]:
         "text_lm_surprise": _SQL_LM_SURPRISE,
         "text_kn_lm": _SQL_KN_LM,
         "text_bpe": _SQL_BPE,
+        "text_bpe_encode": _SQL_BPE_ENCODE,
         "doi_datacite": _SQL_DOI_DATACITE,
         "mix_weights": _SQL_MIX_WEIGHTS,
         "corpus_curation": _sql_corpus_curation(),

@@ -406,3 +406,20 @@ def test_bpe_train_matches_reference(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_counts(spark):
+    """bpe_encode compresses: n_bpe_tokens is chars-per-word total
+    minus one per applied merge occurrence, bounded by [n_words, total
+    chars]; a corpus whose best merge is 'lo' must shrink 'low'."""
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "low low low"), (1, "low lot")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, n_merges=1).collect()
+    }
+    # best pair: ('l','o') freq 5 -> 'low' = [lo, w], 'lot' = [lo, t]
+    assert got == {0: (3, 6), 1: (2, 4)}
