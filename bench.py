@@ -135,6 +135,7 @@ BENCH_QUERIES = (
     "text_kn_lm",
     "text_bpe",
     "text_bpe_encode",
+    "kg_closeness",
 )
 
 

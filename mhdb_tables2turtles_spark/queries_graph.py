@@ -2386,6 +2386,54 @@ def _sql_filter_exists(mentions_sql: str) -> str:
 """
 
 
+def q_kg_closeness(spark, sf_dir):
+    """Closeness-centrality ingredients (web/structure.py::
+    closeness_exact): per node, reached count / distance sum /
+    eccentricity within 3 hops over the sparse co-mention subgraph —
+    exact integers via per-hop ball deltas, never a distance matrix."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.structure import closeness_exact
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).filter(
+        hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+    )
+    return closeness_exact(edges, max_h=_NEIGH_MAX_H)
+
+
+def _sql_closeness(cooc_sql: str) -> str:
+    parts = [
+        f"""with e0 as materialized (
+            select term_a, term_b from ({cooc_sql})
+            where n_docs >= {_PR_MIN_DOCS}
+              and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                      % 3 = 0
+        ),
+        e as materialized (
+            select term_a as u, term_b as v from e0
+            union all select term_b, term_a from e0),
+        d0 as (select distinct u as s, u as t, 0 as d from e)"""
+    ]
+    for i in range(1, _NEIGH_MAX_H + 1):
+        parts.append(
+            f"""d{i} as materialized (
+            select s, t, min(d) as d from (
+                select s, t, d from d{i-1}
+                union all
+                select d{i-1}.s, e.v, d{i-1}.d + 1
+                from d{i-1} join e on d{i-1}.t = e.u
+            ) group by s, t)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    select s as node, cast(count(*) as bigint) as n_reached,
+           cast(sum(d) as bigint) as dist_sum,
+           cast(max(d) as int) as ecc
+    from d{_NEIGH_MAX_H} group by s
+"""
+    )
+
+
 _TOP_K = 5
 
 
@@ -2722,6 +2770,7 @@ GRAPH_QUERIES = {
     "kg_shacl_path": q_kg_shacl_path,
     "kg_walks": q_kg_walks,
     "kg_skipgram": q_kg_skipgram,
+    "kg_closeness": q_kg_closeness,
 }
 
 
@@ -2784,4 +2833,5 @@ def graph_oracles(
         "kg_shacl_path": _sql_shacl_path(mentions_sql),
         "kg_walks": _sql_walks(cooc_sql),
         "kg_skipgram": _sql_skipgram(cooc_sql),
+        "kg_closeness": _sql_closeness(cooc_sql),
     }

@@ -1914,3 +1914,28 @@ def test_random_walks_deterministic_and_valid(spark):
         assert nodes[0] == wid.split("#")[0]
         for a, b in zip(nodes, nodes[1:]):
             assert b in adj[a]  # each hop is a real edge
+
+
+def test_closeness_exact_path_graph(spark):
+    """Path a-b-c-d within 3 hops: hand-checked reach/sum/ecc; with a
+    2-hop cap, endpoint sums truncate to the reachable ball only."""
+    from mhdb_tables2turtles_spark.web.structure import closeness_exact
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["n_reached"], r["dist_sum"], r["ecc"])
+        for r in closeness_exact(e, max_h=3).collect()
+    }
+    assert got == {
+        "a": (4, 6, 3),
+        "b": (4, 4, 2),
+        "c": (4, 4, 2),
+        "d": (4, 6, 3),
+    }
+    capped = {
+        r["node"]: (r["n_reached"], r["dist_sum"], r["ecc"])
+        for r in closeness_exact(e, max_h=2).collect()
+    }
+    assert capped["a"] == (3, 3, 2)  # d is outside the 2-hop ball
