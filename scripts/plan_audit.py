@@ -89,6 +89,13 @@ AUDIT = (
     "kg_top_entities",
     "kg_ask",
     "kg_filter_exists",
+    "kg_subquery",
+    "kg_shacl_path",
+    "kg_walks",
+    "kg_skipgram",
+    "text_kn_lm",
+    "text_bpe_encode",
+    "kg_closeness",
 )
 
 CHECKS = {
@@ -96,6 +103,12 @@ CHECKS = {
     "kg_top_entities": ["TakeOrderedAndProject"],
     # EXISTS/NOT EXISTS are semi/anti joins on the shared variables
     "kg_filter_exists": ["LeftSemi", "LeftAnti"],
+    # scalar-aggregate subquery is a 1-row broadcast, never a shuffle join
+    "kg_subquery": ["BroadcastNestedLoopJoin"],
+    # KN LM joins are aggregate-to-aggregate with map-side partials
+    "text_kn_lm": ["HashAggregate"],
+    # skip-gram pair extraction: one aggregation after the walk-id join
+    "kg_skipgram": ["HashAggregate", "Generate"],
     "nation_revenue": ["BroadcastHashJoin", "PushedFilters"],
     "sheet_nation_triples": ["BroadcastHashJoin"],
     "pricing_summary": ["HashAggregate"],  # partial agg before Exchange; codegen not rendered in AQE formatted output pre-execution
