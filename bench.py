@@ -136,6 +136,7 @@ BENCH_QUERIES = (
     "text_bpe",
     "text_bpe_encode",
     "kg_closeness",
+    "kg_cocitation",
 )
 
 

@@ -2434,6 +2434,27 @@ def _sql_closeness(cooc_sql: str) -> str:
     )
 
 
+def q_kg_cocitation(spark, sf_dir):
+    """Co-citation relatedness (web/graphrank.py::cocitation) over the
+    hash-directed co-mention graph: entity pairs endorsed by >= 2
+    common in-neighbors."""
+    from mhdb_tables2turtles_spark.web.graphrank import cocitation
+
+    return cocitation(q_kg_directed_edges(spark, sf_dir), min_common=2)
+
+
+def _sql_cocitation(cooc_sql: str) -> str:
+    return f"""
+    with {_sql_directed_cte(cooc_sql, include_reach=False).strip()}
+    select a.v as node_a, b.v as node_b,
+           cast(count(*) as bigint) as n_common
+    from e a join e b on a.u = b.u
+    where a.v < b.v
+    group by a.v, b.v
+    having count(*) >= 2
+"""
+
+
 _TOP_K = 5
 
 
@@ -2532,8 +2553,8 @@ def q_kg_directed_edges(spark, sf_dir):
     )
 
 
-def _sql_directed_cte(cooc_sql: str) -> str:
-    return f"""
+def _sql_directed_cte(cooc_sql: str, include_reach: bool = True) -> str:
+    base = f"""
     d as materialized (
           select term_a as a, term_b as b,
                  ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
@@ -2544,12 +2565,18 @@ def _sql_directed_cte(cooc_sql: str) -> str:
           union select b, a from d where h >= 3 and h < 6
           union select a, b from d where h = 6
           union select b, a from d where h = 6),
-    n as materialized (select u as node from e union select v from e),
+    n as materialized (select u as node from e union select v from e)"""
+    if not include_reach:
+        return base
+    return (
+        base
+        + """,
     reach(s, t) as (
         select u, v from e
         union
         select r.s, e.v from reach r join e on r.t = e.u
     )"""
+    )
 
 
 def q_kg_scc(spark, sf_dir):
@@ -2771,6 +2798,7 @@ GRAPH_QUERIES = {
     "kg_walks": q_kg_walks,
     "kg_skipgram": q_kg_skipgram,
     "kg_closeness": q_kg_closeness,
+    "kg_cocitation": q_kg_cocitation,
 }
 
 
@@ -2834,4 +2862,5 @@ def graph_oracles(
         "kg_walks": _sql_walks(cooc_sql),
         "kg_skipgram": _sql_skipgram(cooc_sql),
         "kg_closeness": _sql_closeness(cooc_sql),
+        "kg_cocitation": _sql_cocitation(cooc_sql),
     }

@@ -1939,3 +1939,27 @@ def test_closeness_exact_path_graph(spark):
         for r in closeness_exact(e, max_h=2).collect()
     }
     assert capped["a"] == (3, 3, 2)  # d is outside the 2-hop ball
+
+
+def test_cocitation_and_coupling(spark):
+    """Co-citation pairs share an in-neighbor, coupling pairs an
+    out-neighbor; hub_cap bounds wedge fan-out deterministically."""
+    from mhdb_tables2turtles_spark.web.graphrank import cocitation
+
+    e = spark.createDataFrame(
+        [("u", "a"), ("u", "b"), ("v", "a"), ("v", "b"), ("a", "x"),
+         ("b", "x")],
+        ["src", "dst"],
+    )
+    cc = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in cocitation(e).collect()
+    }
+    assert cc == {("a", "b"): 2}  # u and v both cite a and b
+    bc = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in cocitation(e, mode="coupling").collect()
+    }
+    assert bc == {("a", "b"): 1, ("u", "v"): 2}
+    # hub_cap=1 keeps one adjacency row per center: no pair survives
+    assert cocitation(e, hub_cap=1).count() == 0
