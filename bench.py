@@ -137,6 +137,7 @@ BENCH_QUERIES = (
     "text_bpe_encode",
     "kg_closeness",
     "kg_cocitation",
+    "text_cdc_dedup",
 )
 
 

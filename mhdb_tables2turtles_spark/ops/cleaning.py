@@ -420,3 +420,79 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(int(r * 10000))
         ).otherwise(rate)
     return docs.filter(bucket < rate)
+
+
+def cdc_dedup(docs: DataFrame, divisor: int = 8) -> DataFrame:
+    """Content-defined-chunking dedup — :func:`segment_dedup` with
+    CONTENT-DERIVED boundaries instead of fixed k-token strides:
+    ``(doc_id, n_chunks, n_dup_chunks, dup_bp)``.
+
+    A chunk boundary falls AFTER any token whose 60-bit hash is 0 mod
+    ``divisor`` (expected chunk length = ``divisor`` tokens) — the
+    token-level analogue of Rabin/Gear CDC (LBFS, Muthitacharoen et
+    al. SOSP 2001).  The property fixed strides cannot give: inserting
+    or deleting text shifts only the chunks it touches, so shared
+    boilerplate re-aligns and still dedups — byte-shift robustness, the
+    reason backup systems and suffix-free corpus dedup use CDC.  No
+    min/max chunk clamp (production CDC adds one; it only re-derives
+    boundaries row-locally and is omitted for oracle simplicity —
+    documented, not hidden).
+
+    Plan: posexplode + ONE per-document running sum (window keyed by
+    doc_id — uniform bounded-size partitions, the same shape as the W1
+    sequence counter) assigns chunk ids; after that only 8-byte chunk
+    hashes shuffle, exactly like :func:`segment_dedup`'s two
+    hash-keyed aggregations.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum(
+                F.when(hash60(F.col("tok")) % divisor == 0, 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("chunk_idx"),
+    )
+    # collect_list order is NOT deterministic under shuffle — sort the
+    # (pos, tok) structs (sort_array orders by pos, the leading field)
+    # before joining the chunk text
+    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
+        hash60(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok"),
+            )
+        ).alias("chunk_hash")
+    )
+    global_counts = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        chunks.join(global_counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+            F.expr(
+                "cast((10000 * sum(case when n_docs_with > 1 then 1"
+                " else 0 end)) div count(*) as bigint)"
+            ).alias("dup_bp"),
+        )
+    )

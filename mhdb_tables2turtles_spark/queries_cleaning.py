@@ -988,11 +988,50 @@ _SQL_BPE_ENCODE = f"""
 """
 
 
+
+def q_text_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (ops/cleaning.py::cdc_dedup):
+    boundary-robust boilerplate shares per doc."""
+    return cleaning.cdc_dedup(_read_spread(spark, sf_dir, "documents"))
+
+
+_SQL_CDC = f"""
+    with t as (select doc_id, {_TOKS} as ts from documents),
+    tok as (select doc_id,
+                   unnest(generate_series(1, len(ts))) as pos,
+                   unnest(ts) as tok
+            from t),
+    m as (select doc_id, pos, tok,
+                 coalesce(sum(case when {_sql_hash60("tok")} % 8 = 0
+                                   then 1 else 0 end)
+                          over (partition by doc_id order by pos
+                                rows between unbounded preceding
+                                and 1 preceding), 0) as chunk_idx
+          from tok),
+    ch as (select doc_id, chunk_idx,
+                  {_sql_hash60("string_agg(tok, ' ' order by pos)")}
+                      as chunk_hash
+           from m group by doc_id, chunk_idx),
+    gc as (select chunk_hash, count(distinct doc_id) as n_docs_with
+           from ch group by chunk_hash)
+    select doc_id,
+           count(*) as n_chunks,
+           cast(sum(case when n_docs_with > 1 then 1 else 0 end)
+                as bigint) as n_dup_chunks,
+           cast((10000 * sum(case when n_docs_with > 1 then 1 else 0 end))
+                // count(*) as bigint) as dup_bp
+    from ch join gc using (chunk_hash)
+    group by doc_id
+"""
+
+
+
 CLEANING_QUERIES = {
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
     "text_line_repetition": q_text_line_repetition,
     "segment_dedup": q_segment_dedup,
+    "text_cdc_dedup": q_text_cdc_dedup,
     "host_stats": q_host_stats,
     "doc_sample": q_doc_sample,
     "token_packing": q_token_packing,
@@ -1017,6 +1056,7 @@ def cleaning_oracles() -> dict[str, str]:
         "text_repetition": _SQL_REPETITION,
         "text_line_repetition": _SQL_LINE_REP,
         "segment_dedup": _SQL_SEGMENT_DEDUP,
+        "text_cdc_dedup": _SQL_CDC,
         "host_stats": _SQL_HOST_STATS,
         "doc_sample": _sql_doc_sample(),
         "token_packing": _SQL_TOKEN_PACKING,

@@ -423,3 +423,26 @@ def test_bpe_encode_counts(spark):
     }
     # best pair: ('l','o') freq 5 -> 'low' = [lo, w], 'lot' = [lo, t]
     assert got == {0: (3, 6), 1: (2, 4)}
+
+
+def test_cdc_dedup_shift_robust(spark):
+    """The CDC property: prepending tokens to a doc re-aligns chunk
+    boundaries, so shared boilerplate still dedups — where the fixed-k
+    segmenter misses it after the shift.  'at' is a boundary token
+    (hash60 % 8 == 0); the shared tail starts right after it."""
+    from mhdb_tables2turtles_spark.ops.cleaning import cdc_dedup, segment_dedup
+
+    boiler = "the and of to a in is it on by we or"  # no boundary tokens
+    d0 = f"at {boiler}"
+    d1 = f"the of in at {boiler}"  # 3-token prefix shifts everything
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1)], ["doc_id", "text"]
+    )
+    cdc = {r["doc_id"]: r["n_dup_chunks"] for r in cdc_dedup(docs).collect()}
+    # both docs share the post-'at' boilerplate chunk
+    assert cdc[0] >= 1 and cdc[1] >= 1
+    seg = {
+        r["doc_id"]: r["n_dup_segments"]
+        for r in segment_dedup(docs, k=4).collect()
+    }
+    assert seg[0] == 0 and seg[1] == 0  # fixed strides misalign
