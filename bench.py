@@ -138,6 +138,8 @@ BENCH_QUERIES = (
     "kg_closeness",
     "kg_cocitation",
     "text_cdc_dedup",
+    "kg_harmonic",
+    "kg_adamic_adar",
 )
 
 

@@ -2455,6 +2455,76 @@ def _sql_cocitation(cooc_sql: str) -> str:
 """
 
 
+def q_kg_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (web/graphrank.py::adamic_adar)
+    over the same hash-dropped co-mention fixture as kg_link_predict —
+    fixed-point 1/log2-degree weights via the portable bin() device."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.graphrank import adamic_adar
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).filter(
+        hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+    )
+    return adamic_adar(edges)
+
+
+def _sql_adamic_adar(cooc_sql: str) -> str:
+    return f"""
+    with e0 as materialized (
+        select term_a, term_b from ({cooc_sql})
+        where n_docs >= {_PR_MIN_DOCS}
+          and ('0x'||substr(md5(term_a||' '||term_b),1,15))::BIGINT
+                  % 3 = 0
+    ),
+    e as materialized (
+        select term_a as u, term_b as v from e0
+        union select term_b, term_a from e0),
+    deg as (select u, count(*) as deg from e group by u),
+    adj as materialized (
+        select e.u, e.v,
+               10000 // greatest(1, length(bin(deg.deg)) - 1) as w
+        from e join deg using (u)),
+    wedges as (
+        select a.v as node_a, b.v as node_b,
+               cast(count(*) as bigint) as n_common,
+               cast(sum(a.w) as bigint) as aa_bp
+        from adj a join adj b on a.u = b.u
+        where a.v < b.v
+        group by a.v, b.v)
+    select w.* from wedges w
+    anti join (select u as node_a, v as node_b from e where u < v) x
+    using (node_a, node_b)
+"""
+
+
+def q_kg_harmonic(spark, sf_dir):
+    """Harmonic centrality (web/structure.py::closeness_exact with
+    harmonic=True): Σ 1/d in integer basis points within 3 hops —
+    the Boldi-Vigna-recommended centrality for graphs with
+    unreachable pairs."""
+    from mhdb_tables2turtles_spark.ops.common import hash60
+    from mhdb_tables2turtles_spark.web.structure import closeness_exact
+
+    edges = q_kg_cooccurrence_edges(spark, sf_dir).filter(
+        hash60(F.concat_ws(" ", F.col("src"), F.col("dst"))) % 3 == 0
+    )
+    return closeness_exact(
+        edges, max_h=_NEIGH_MAX_H, harmonic=True
+    ).select("node", "harm_bp")
+
+
+def _sql_harmonic(cooc_sql: str) -> str:
+    base = _sql_closeness(cooc_sql).rsplit("select s as node", 1)[0]
+    return (
+        base
+        + f"""select s as node,
+           cast(sum(case when d > 0 then 10000 // d else 0 end)
+                as bigint) as harm_bp
+    from d{_NEIGH_MAX_H} group by s
+"""
+    )
+
+
 _TOP_K = 5
 
 
@@ -2799,6 +2869,8 @@ GRAPH_QUERIES = {
     "kg_skipgram": q_kg_skipgram,
     "kg_closeness": q_kg_closeness,
     "kg_cocitation": q_kg_cocitation,
+    "kg_harmonic": q_kg_harmonic,
+    "kg_adamic_adar": q_kg_adamic_adar,
 }
 
 
@@ -2863,4 +2935,6 @@ def graph_oracles(
         "kg_skipgram": _sql_skipgram(cooc_sql),
         "kg_closeness": _sql_closeness(cooc_sql),
         "kg_cocitation": _sql_cocitation(cooc_sql),
+        "kg_harmonic": _sql_harmonic(cooc_sql),
+        "kg_adamic_adar": _sql_adamic_adar(cooc_sql),
     }

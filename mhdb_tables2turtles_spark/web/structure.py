@@ -377,14 +377,23 @@ def neighborhood_function(
     )
 
 
-def closeness_exact(edges: DataFrame, max_h: int = 4) -> DataFrame:
+def closeness_exact(
+    edges: DataFrame, max_h: int = 4, harmonic: bool = False
+) -> DataFrame:
     """``(node, n_reached, dist_sum, ecc)`` — exact closeness-centrality
     ingredients per node over the undirected graph, capped at ``max_h``
     hops: nodes reached (self included, distance 0), the sum of
     shortest-path distances to them, and the eccentricity (max distance
-    seen).  Closeness = (n_reached - 1) / dist_sum and harmonic
-    centrality both derive row-locally; the exact integer triple is
-    what hashes against the oracle.
+    seen).  Closeness = (n_reached - 1) / dist_sum derives row-locally;
+    the exact integer triple is what hashes against the oracle.
+
+    ``harmonic=True`` appends ``harm_bp`` — harmonic centrality
+    Σ 1/d(u, v) in integer basis points, accumulated per hop as
+    ``(10000 div h) · newly_reached`` (exact; the same delta identity).
+    Harmonic is the centrality Boldi & Vigna recommend over closeness
+    at web scale because disconnected pairs contribute 0 instead of
+    breaking the mean — with a hop cap the two coincide in spirit but
+    harmonic needs no reachability normalization.
 
     Same ball iteration as :func:`neighborhood_function` (exact mode)
     with per-round DELTA accounting: newly reached at hop h contribute
@@ -409,6 +418,7 @@ def closeness_exact(edges: DataFrame, max_h: int = 4) -> DataFrame:
         F.lit(1).cast("long").alias("n_reached"),
         F.lit(0).cast("long").alias("dist_sum"),
         F.lit(0).cast("int").alias("ecc"),
+        F.lit(0).cast("long").alias("harm_bp"),
     ).localCheckpoint(eager=True)
     for h in range(1, max_h + 1):
         nbr = both.join(
@@ -442,7 +452,15 @@ def closeness_exact(edges: DataFrame, max_h: int = 4) -> DataFrame:
                 .otherwise(F.col("ecc"))
                 .cast("int")
                 .alias("ecc"),
+                (
+                    F.col("harm_bp")
+                    + (10000 // h)
+                    * (F.size("ball") - F.col("n_reached"))
+                ).alias("harm_bp"),
             )
             .localCheckpoint(eager=True)
         )
-    return state.select("node", "n_reached", "dist_sum", "ecc")
+    cols = ["node", "n_reached", "dist_sum", "ecc"]
+    if harmonic:
+        cols.append("harm_bp")
+    return state.select(*cols)

@@ -1963,3 +1963,29 @@ def test_cocitation_and_coupling(spark):
     assert bc == {("a", "b"): 1, ("u", "v"): 2}
     # hub_cap=1 keeps one adjacency row per center: no pair survives
     assert cocitation(e, hub_cap=1).count() == 0
+
+
+def test_harmonic_and_adamic_adar(spark):
+    """Harmonic: path a-b-c within 2 hops — a gets 10000/1 + 10000/2.
+    Adamic-Adar: the wedge center's weight is 10000 // floor(log2 deg);
+    existing edges are excluded."""
+    from mhdb_tables2turtles_spark.web.graphrank import adamic_adar
+    from mhdb_tables2turtles_spark.web.structure import closeness_exact
+
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    harm = {
+        r["node"]: r["harm_bp"]
+        for r in closeness_exact(path, max_h=2, harmonic=True).collect()
+    }
+    assert harm == {"a": 15000, "b": 20000, "c": 15000}
+
+    # star: hub h with leaves x,y,z,w (deg 4 -> log2 = 2 -> w = 5000)
+    star = spark.createDataFrame(
+        [("h", n) for n in ("x", "y", "z", "w")], ["src", "dst"]
+    )
+    aa = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["aa_bp"])
+        for r in adamic_adar(star).collect()
+    }
+    assert len(aa) == 6  # all leaf pairs, no pair includes the hub
+    assert all(v == (1, 5000) for v in aa.values())
