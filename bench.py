@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "text_cdc_dedup",
     "kg_harmonic",
     "kg_adamic_adar",
+    "events_rollup_refresh",
 )
 
 

@@ -1178,6 +1178,34 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_rollup_refresh(spark, sf_dir):
+    """Continuous-aggregate refresh (ops/rollup.py::rollup_refresh):
+    commit the rollup of ~80% of events, refresh with the other ~20%
+    as a late batch — the result must equal the from-scratch rollup of
+    everything, which is exactly what the oracle computes (the
+    merge_components equivalence-theorem gate pattern)."""
+    from mhdb_tables2turtles_spark.ops.rollup import (
+        hourly_rollup,
+        rollup_refresh,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_batch = F.col("event_id") % 5 == 0
+    committed = hourly_rollup(ev.filter(~is_batch))
+    return rollup_refresh(committed, ev.filter(is_batch))
+
+
+_SQL_EVENTS_ROLLUP_REFRESH = f"""
+    select event_type,
+           (epoch_us(ts) // {_US_PER_HOUR}) * {_US_PER_HOUR} as hour_us,
+           count(*) as n_events,
+           cast(sum(cast(round(value * 1000000) as bigint)) as bigint)
+               as sum_value_micro
+    from events
+    group by event_type, hour_us
+"""
+
+
 _SQL_EVENTS_ROLLUP = f"""
     with s as (
         select event_type,
@@ -2871,6 +2899,7 @@ GRAPH_QUERIES = {
     "kg_cocitation": q_kg_cocitation,
     "kg_harmonic": q_kg_harmonic,
     "kg_adamic_adar": q_kg_adamic_adar,
+    "events_rollup_refresh": q_events_rollup_refresh,
 }
 
 
@@ -2937,4 +2966,5 @@ def graph_oracles(
         "kg_cocitation": _sql_cocitation(cooc_sql),
         "kg_harmonic": _sql_harmonic(cooc_sql),
         "kg_adamic_adar": _sql_adamic_adar(cooc_sql),
+        "events_rollup_refresh": _SQL_EVENTS_ROLLUP_REFRESH,
     }

@@ -1989,3 +1989,42 @@ def test_harmonic_and_adamic_adar(spark):
     }
     assert len(aa) == 6  # all leaf pairs, no pair includes the hub
     assert all(v == (1, 5000) for v in aa.values())
+
+
+def test_rollup_refresh_equals_recompute_and_handles_new_hours(spark):
+    """refresh(committed, batch) == hourly_rollup(all), including a
+    batch that creates brand-new (type, hour) groups and one that
+    touches existing ones."""
+    import datetime as dt
+
+    from mhdb_tables2turtles_spark.ops.rollup import (
+        hourly_rollup,
+        rollup_refresh,
+    )
+
+    def ev(i, h, m, t, v):
+        return (i, dt.datetime(2024, 1, 1, h, m), 1, t, v, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    hist = spark.createDataFrame(
+        [ev(0, 0, 5, "click", 1.5), ev(1, 0, 10, "click", 2.0),
+         ev(2, 1, 0, "error", 0.25)],
+        cols,
+    )
+    batch = spark.createDataFrame(
+        [ev(3, 0, 59, "click", 3.0),   # touches existing group
+         ev(4, 2, 1, "view", 9.0)],    # brand-new type AND hour
+        cols,
+    )
+    got = {
+        (r["event_type"], r["hour_us"]): (r["n_events"], r["sum_value_micro"])
+        for r in rollup_refresh(hourly_rollup(hist), batch).collect()
+    }
+    want = {
+        (r["event_type"], r["hour_us"]): (r["n_events"], r["sum_value_micro"])
+        for r in hourly_rollup(hist.unionByName(batch)).collect()
+    }
+    assert got == want
+    base_us = 1704067200000000  # 2024-01-01 00:00 in epoch-µs
+    assert ("view", base_us + 7200 * 1_000_000) in got  # new group
+    assert got[("click", base_us)] == (3, 6_500_000)  # merged group
