@@ -96,6 +96,11 @@ AUDIT = (
     "text_kn_lm",
     "text_bpe_encode",
     "kg_closeness",
+    "kg_cocitation",
+    "text_cdc_dedup",
+    "kg_harmonic",
+    "kg_adamic_adar",
+    "events_rollup_refresh",
 )
 
 CHECKS = {
@@ -109,6 +114,10 @@ CHECKS = {
     "text_kn_lm": ["HashAggregate"],
     # skip-gram pair extraction: one aggregation after the walk-id join
     "kg_skipgram": ["HashAggregate", "Generate"],
+    # CDC chunk ids come from one per-doc running sum
+    "text_cdc_dedup": ["Window"],
+    # continuous-aggregate merge is a keyed outer join, no Window/CTE scan
+    "events_rollup_refresh": ["HashAggregate"],
     "nation_revenue": ["BroadcastHashJoin", "PushedFilters"],
     "sheet_nation_triples": ["BroadcastHashJoin"],
     "pricing_summary": ["HashAggregate"],  # partial agg before Exchange; codegen not rendered in AQE formatted output pre-execution
