@@ -53,8 +53,16 @@ def _driver_staleness() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                last[name] = max(last.get(name, -1), rnd)
+            for name, row in rows.items():
+                # Only a GREEN row counts as "checked": an errored or
+                # mismatched row (e.g. kg_named_graphs' r04 canonicalizer
+                # TypeError) must keep the query at the front of the
+                # rotation so the next capped gate re-verifies the fix.
+                ok = isinstance(row, dict) and bool(
+                    row.get("hash_match") or row.get("rows_match")
+                )
+                if ok:
+                    last[name] = max(last.get(name, -1), rnd)
     return last
 
 

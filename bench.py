@@ -298,23 +298,39 @@ def main() -> None:
     total += upd["update_sec"]
     per_query["web_kg_update"] = upd["update_sec"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "pages_per_sec": pipe["pages_per_sec"],
-                "pipeline_pages": pipe["n_pages"],
-                "pipeline_triples": pipe["n_triples"],
-                "update_pages_per_sec": upd["update_pages_per_sec"],
-                "update_batch_pages": upd["update_batch_pages"],
-            }
-        )
+    summary = {
+        "metric": "bench_total_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "pages_per_sec": pipe["pages_per_sec"],
+        "pipeline_pages": pipe["n_pages"],
+        "pipeline_triples": pipe["n_triples"],
+        "update_pages_per_sec": upd["update_pages_per_sec"],
+        "update_batch_pages": upd["update_batch_pages"],
+    }
+    # The driver's tail capture keeps only the LAST ~2000 chars of
+    # stdout and json-parses the final line; the full per-query dict
+    # (85+ entries) overflows that window (BENCH_r04 "parsed": null).
+    # So: persist the full summary to disk, print it on an early line
+    # for human logs, and END with a compact line that always fits —
+    # totals + the slowest queries + a pointer to the full file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "BENCH", "last_bench.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
+    compact = dict(summary)
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:12]
     )
+    compact["queries"] = slowest
+    compact["n_queries"] = len(per_query)
+    compact["queries_path"] = "BENCH/last_bench.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -14,13 +14,24 @@ ops/ivf.py's centroids).
 
 Determinism / oracle portability: a word's symbol sequence is encoded
 as a DOUBLE-SPACE-joined string ("h  e  l  l  o").  Applying merge
-(a, b) is then a literal ``replace(ws, 'a  b', 'ab')``: because the
-separator is consumed entirely by the match, left-to-right
-non-overlapping replacement — the semantics both Spark's ``replace``
-and DuckDB's ``replace`` guarantee — equals greedy left-to-right BPE
-merging exactly ("a  a  a  a" -> "aa  aa", not "aa  a  a").  Ties on
-pair frequency break by the pair string ascending, so the learned
-merge table is a pure function of the corpus on every engine.
+(a, b) is a left-to-right fold over the symbol ARRAY that fuses only
+exact adjacent full-symbol pairs (:func:`_apply_merge`) — a plain
+substring ``replace(ws, 'a  b', 'ab')`` is WRONG once symbols are
+multi-char, because a symbol merely *ending* with ``a`` or *starting*
+with ``b`` also matches across the separator (rule ``(e, t)`` would
+corrupt ``m  e  th  o  d`` into ``m  eth  o  d``).  The fold gives
+greedy left-to-right non-overlapping semantics exactly
+("a  a  a  a" -> "aa  aa", not "aa  a  a"): a freshly fused symbol
+``ab`` can never be the LEFT of another fuse of the same rule since
+``ab != a``.  The DuckDB oracles mirror the same fold via
+``list_reduce``.  Ties on pair frequency break by the pair string
+ascending, so the learned merge table is a pure function of the
+corpus on every engine.
+
+Perf note: the fold is a Catalyst higher-order function (interpreted
+lambda), but it only ever runs over the DISTINCT word-TYPE table —
+vocabulary-sized, not corpus-sized — so the interpreted path is
+irrelevant to pipeline throughput.
 """
 
 from __future__ import annotations
@@ -31,6 +42,32 @@ from pyspark.sql import functions as F
 from mhdb_tables2turtles_spark.ops.common import tokens
 
 __all__ = ["bpe_train", "bpe_encode"]
+
+
+def _apply_merge(ws, left: str, right: str):
+    """Apply one BPE merge rule ``(left, right)`` to a double-space-
+    joined symbol string column: fold over the symbol array, fusing an
+    adjacent pair only when the PREVIOUS FULL SYMBOL equals ``left``
+    and the current symbol equals ``right``.  Boundary-anchored — a
+    symbol that merely ends with ``left`` (checked via the ``'  ' +
+    left`` suffix; symbols never contain spaces) or starts with
+    ``right`` can't match, unlike a raw substring replace."""
+    lit_l = F.lit(left)
+    sep_l = F.lit("  " + left)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        F.split(ws, "  "),
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            ((acc == lit_l) | acc.endswith(sep_l)) & (x == F.lit(right)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.lit(len(left))),
+                merged,
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit("  "), x)),
+    )
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
@@ -88,9 +125,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
         left, right = pair.split("  ")
         merges.append((r, left, right, freq))
         words = words.select(
-            F.replace(
-                F.col("ws"), F.lit(pair), F.lit(left + right)
-            ).alias("ws"),
+            _apply_merge(F.col("ws"), left, right).alias("ws"),
             "n",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
@@ -136,10 +171,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     )
     for left, right in rules:
         types = types.select(
-            "w",
-            F.replace(
-                F.col("ws"), F.lit(left + "  " + right), F.lit(left + right)
-            ).alias("ws"),
+            "w", _apply_merge(F.col("ws"), left, right).alias("ws")
         )
     types = types.select(
         "w", F.size(F.split(F.col("ws"), "  ")).alias("syms")

@@ -759,116 +759,75 @@ def q_text_bpe(spark, sf_dir):
     return bpe_train(_read_spread(spark, sf_dir, "documents"), n_merges=5)
 
 
-_SQL_BPE = f"""
-    with w0 as materialized (
+def _sql_bpe_pairs(prev: str) -> str:
+    return f"""
+        select pair, sum(n) as c from (
+            select unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> arr[i]||'  '||arr[i+1])) as pair, n
+            from (select string_split(ws, '  ') as arr, n from {prev})
+        ) group by pair"""
+
+
+def _sql_bpe_apply(prev: str, best: str, keep_w: bool = False) -> str:
+    """One BPE merge round: boundary-anchored fold over the symbol
+    array via list_reduce — mirrors ops/bpe.py::_apply_merge exactly.
+    A raw substring replace() is WRONG for multi-char symbols (matches
+    across the '  ' separator), so both engines fold."""
+    wcol = "w, " if keep_w else ""
+    return f"""
+        select {wcol}list_reduce(string_split(ws, '  '),
+            (acc, x) -> case
+                when (acc = b.l or ends_with(acc, '  ' || b.l))
+                     and x = b.r
+                    then substr(acc, 1, length(acc) - length(b.l))
+                         || b.l || b.r
+                else acc || '  ' || x end) as ws,
+            n
+        from {prev}, (select string_split(pair, '  ')[1] as l,
+                             string_split(pair, '  ')[2] as r
+                      from {best}) b"""
+
+
+def _sql_bpe_chain(n_merges: int, w0: str, keep_w: bool = False) -> str:
+    """p/b/w CTE chain for n_merges BPE rounds over the w0 word table."""
+    parts = [f"w0 as materialized ({w0}\n    )"]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} as materialized ({_sql_bpe_pairs(f'w{i - 1}')}\n    )"
+        )
+        parts.append(
+            f"b{i} as materialized (\n        select pair, c from p{i}"
+            f" order by c desc, pair limit 1\n    )"
+        )
+        parts.append(
+            f"w{i} as materialized"
+            f" ({_sql_bpe_apply(f'w{i - 1}', f'b{i}', keep_w)}\n    )"
+        )
+    return ",\n    ".join(parts)
+
+
+_SQL_BPE_W0 = f"""
         select array_to_string(
                    list_transform(generate_series(1, len(w)),
                                   i -> w[i]), '  ') as ws,
                n
         from (select w, count(*) as n
               from (select unnest({_TOKS}) as w from documents)
-              group by w)
-    ),
-    p1 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w0)
-        ) group by pair
-    ),
-    b1 as materialized (
-        select pair, c from p1 order by c desc, pair limit 1
-    ),
-    w1 as materialized (
-        select replace(ws, (select pair from b1),
-                       replace((select pair from b1), '  ', '')) as ws, n
-        from w0
-    ),
-    p2 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w1)
-        ) group by pair
-    ),
-    b2 as materialized (
-        select pair, c from p2 order by c desc, pair limit 1
-    ),
-    w2 as materialized (
-        select replace(ws, (select pair from b2),
-                       replace((select pair from b2), '  ', '')) as ws, n
-        from w1
-    ),
-    p3 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w2)
-        ) group by pair
-    ),
-    b3 as materialized (
-        select pair, c from p3 order by c desc, pair limit 1
-    ),
-    w3 as materialized (
-        select replace(ws, (select pair from b3),
-                       replace((select pair from b3), '  ', '')) as ws, n
-        from w2
-    ),
-    p4 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w3)
-        ) group by pair
-    ),
-    b4 as materialized (
-        select pair, c from p4 order by c desc, pair limit 1
-    ),
-    w4 as materialized (
-        select replace(ws, (select pair from b4),
-                       replace((select pair from b4), '  ', '')) as ws, n
-        from w3
-    ),
-    p5 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w4)
-        ) group by pair
-    ),
-    b5 as materialized (
-        select pair, c from p5 order by c desc, pair limit 1
-    ),
-    w5 as materialized (
-        select replace(ws, (select pair from b5),
-                       replace((select pair from b5), '  ', '')) as ws, n
-        from w4
+              group by w)"""
+
+_SQL_BPE = (
+    "\n    with "
+    + _sql_bpe_chain(5, _SQL_BPE_W0)
+    + "\n    "
+    + "\n    union all\n    ".join(
+        f"""select {i} as rank, string_split(pair, '  ')[1] as "left",
+           string_split(pair, '  ')[2] as "right",
+           cast(c as bigint) as freq from b{i}"""
+        for i in range(1, 6)
     )
-    select 1 as rank, string_split(pair, '  ')[1] as "left",
-           string_split(pair, '  ')[2] as "right",
-           cast(c as bigint) as freq from b1
-    union all
-    select 2 as rank, string_split(pair, '  ')[1] as "left",
-           string_split(pair, '  ')[2] as "right",
-           cast(c as bigint) as freq from b2
-    union all
-    select 3 as rank, string_split(pair, '  ')[1] as "left",
-           string_split(pair, '  ')[2] as "right",
-           cast(c as bigint) as freq from b3
-    union all
-    select 4 as rank, string_split(pair, '  ')[1] as "left",
-           string_split(pair, '  ')[2] as "right",
-           cast(c as bigint) as freq from b4
-    union all
-    select 5 as rank, string_split(pair, '  ')[1] as "left",
-           string_split(pair, '  ')[2] as "right",
-           cast(c as bigint) as freq from b5
-"""
+    + "\n"
+)
 
 
 
@@ -880,105 +839,24 @@ def q_text_bpe_encode(spark, sf_dir):
     return bpe_encode(_read_spread(spark, sf_dir, "documents"), n_merges=5)
 
 
-_SQL_BPE_ENCODE = f"""
-    with dw as materialized (
-        select doc_id, w, count(*) as m
-        from (select doc_id, unnest({_TOKS}) as w from documents)
-        group by doc_id, w
-    ),
-    w0 as materialized (
+_SQL_BPE_ENCODE_W0 = f"""
         select w,
                array_to_string(
                    list_transform(generate_series(1, len(w)),
                                   i -> w[i]), '  ') as ws,
                n
-        from (select w, sum(m) as n from dw group by w)
+        from (select w, sum(m) as n from dw group by w)"""
+
+_SQL_BPE_ENCODE = (
+    f"""
+    with dw as materialized (
+        select doc_id, w, count(*) as m
+        from (select doc_id, unnest({_TOKS}) as w from documents)
+        group by doc_id, w
     ),
-    p1 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w0)
-        ) group by pair
-    ),
-    b1 as materialized (
-        select pair, c from p1 order by c desc, pair limit 1
-    ),
-    w1 as materialized (
-        select w, replace(ws, (select pair from b1),
-                          replace((select pair from b1), '  ', '')) as ws,
-               n
-        from w0
-    ),
-    p2 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w1)
-        ) group by pair
-    ),
-    b2 as materialized (
-        select pair, c from p2 order by c desc, pair limit 1
-    ),
-    w2 as materialized (
-        select w, replace(ws, (select pair from b2),
-                          replace((select pair from b2), '  ', '')) as ws,
-               n
-        from w1
-    ),
-    p3 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w2)
-        ) group by pair
-    ),
-    b3 as materialized (
-        select pair, c from p3 order by c desc, pair limit 1
-    ),
-    w3 as materialized (
-        select w, replace(ws, (select pair from b3),
-                          replace((select pair from b3), '  ', '')) as ws,
-               n
-        from w2
-    ),
-    p4 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w3)
-        ) group by pair
-    ),
-    b4 as materialized (
-        select pair, c from p4 order by c desc, pair limit 1
-    ),
-    w4 as materialized (
-        select w, replace(ws, (select pair from b4),
-                          replace((select pair from b4), '  ', '')) as ws,
-               n
-        from w3
-    ),
-    p5 as materialized (
-        select pair, sum(n) as c from (
-            select unnest(list_transform(
-                       generate_series(1, len(arr) - 1),
-                       i -> arr[i]||'  '||arr[i+1])) as pair, n
-            from (select string_split(ws, '  ') as arr, n from w4)
-        ) group by pair
-    ),
-    b5 as materialized (
-        select pair, c from p5 order by c desc, pair limit 1
-    ),
-    w5 as materialized (
-        select w, replace(ws, (select pair from b5),
-                          replace((select pair from b5), '  ', '')) as ws,
-               n
-        from w4
-    ),
+    """
+    + _sql_bpe_chain(5, _SQL_BPE_ENCODE_W0, keep_w=True)
+    + """,
     ty as (select w, len(string_split(ws, '  ')) as syms from w5)
     select doc_id,
            cast(sum(m) as bigint) as n_words,
@@ -986,6 +864,7 @@ _SQL_BPE_ENCODE = f"""
     from dw join ty using (w)
     group by doc_id
 """
+)
 
 
 

@@ -2155,7 +2155,13 @@ def q_kg_named_graphs(spark, sf_dir):
     )
     return quads.groupBy("entity").agg(
         F.countDistinct("graph").alias("n_graphs"),
-        F.sort_array(F.collect_set("graph")).alias("graphs"),
+        # Emitted as a comma-joined string, not ArrayType: the driver's
+        # row canonicalizer hashes via pandas sort_values, which cannot
+        # factorize list-valued cells (round-4 red row).  Scalar-only
+        # output columns are now linted in tests/test_entry_contract.py.
+        F.concat_ws(",", F.sort_array(F.collect_set("graph"))).alias(
+            "graphs"
+        ),
     )
 
 
@@ -2166,7 +2172,7 @@ def _sql_named_graphs(mentions_sql: str) -> str:
           from m join documents d using (doc_id))
     select entity,
            cast(count(distinct graph) as bigint) as n_graphs,
-           list_sort(list(distinct graph)) as graphs
+           array_to_string(list_sort(list(distinct graph)), ',') as graphs
     from q group by entity
 """
 

@@ -408,6 +408,30 @@ def test_bpe_train_matches_reference(spark):
     assert got == expected
 
 
+def test_bpe_merge_is_symbol_boundary_anchored(spark):
+    """Regression (round-4 ADVICE): merge application must fuse only
+    exact adjacent FULL symbols.  After round 1 learns (t,h) and round
+    2 learns (th,e), round 3's rule (e,t) must leave 'meth' = [m, e,
+    th] untouched — a substring replace on the double-space-joined
+    string would corrupt it to [m, eth] (the 'e  t' pattern matches
+    into the 'th' symbol), making rank 4 learn (m, eth) instead of the
+    true (e, th)."""
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_train
+
+    text = " ".join(["the"] * 10 + ["meth"] * 3 + ["et"] * 8)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = [
+        tuple(r) for r in bpe_train(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "t", "h", 13),
+        (2, "th", "e", 10),
+        (3, "e", "t", 8),
+        (4, "e", "th", 3),  # buggy replace() learned (m, eth) here
+        (5, "m", "eth", 3),
+    ]
+
+
 def test_bpe_encode_counts(spark):
     """bpe_encode compresses: n_bpe_tokens is chars-per-word total
     minus one per applied merge occurrence, bounded by [n_words, total

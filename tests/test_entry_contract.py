@@ -70,6 +70,28 @@ def test_query_runs_and_matches_oracle(spark, ddb, name):
     )
 
 
+@pytest.mark.parametrize("name", ALL)
+def test_query_output_columns_are_scalar(spark, name):
+    """Driver-canonicalizer contract: every output column must be a
+    scalar type.  The driver hashes results by sorting rows through
+    pandas ``sort_values``, which cannot factorize list/map/struct
+    cells — kg_named_graphs' ArrayType column silently violated this
+    in round 4 (`TypeError: unhashable type: 'list'`) even though its
+    values were correct.  Emit arrays as sorted concat_ws strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver gate "
+        "cannot hash these; stringify (concat_ws on a sort_array) instead"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
