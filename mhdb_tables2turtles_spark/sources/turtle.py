@@ -33,20 +33,38 @@ __all__ = ["read_turtle", "read_turtle_dir"]
 _TRIPLES_DDL = "subject string, predicate string, object string"
 
 
+def _skolemize(term: str, file_tag: str) -> str:
+    """Blank-node labels are DOCUMENT-scoped in Turtle (RDF 1.1 Turtle
+    §6.3): ``_:b0`` in two files denotes two distinct nodes.  Unioning
+    per-file parses verbatim would collapse them, so every blank-node
+    label — parser-minted ``_:genN`` and source-labeled alike — is
+    skolemized with a hash of its file path before the union."""
+    if term.startswith("_:"):
+        return f"_:f{file_tag}_{term[2:]}"
+    return term
+
+
 def _parse_files(prefixes: tuple[str, ...]):
     from mhdb_tables2turtles_spark.operators.validate import parse_turtle
 
     def gen(batches):
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                tag = hashlib.sha1(str(path).encode("utf-8")).hexdigest()[:12]
                 for s, p, o in parse_turtle(
                     bytes(blob).decode("utf-8"), extra_prefixes=prefixes
                 ):
                     rows.append(
-                        {"subject": s, "predicate": p, "object": o}
+                        {
+                            "subject": _skolemize(s, tag),
+                            "predicate": p,
+                            "object": _skolemize(o, tag),
+                        }
                     )
             yield pd.DataFrame(
                 rows, columns=["subject", "predicate", "object"]

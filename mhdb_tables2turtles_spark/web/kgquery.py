@@ -230,9 +230,15 @@ def compile_bgp(
     ``exists`` / ``not_exists`` are SPARQL ``FILTER (NOT) EXISTS``
     pattern blocks: a solution survives iff the block has a compatible
     solution (correlation = equality on the variables shared with the
-    outer block), compiled as a left-SEMI / left-ANTI join on exactly
-    the shared variables — only those columns shuffle, and the block's
-    own bindings never widen the result.  The spec's divergence from
+    outer block; a shared variable left UNBOUND by OPTIONAL is free
+    inside the block, per SPARQL substitution semantics), compiled as
+    a left-SEMI / left-ANTI join on exactly the shared variables —
+    only those columns shuffle, and the block's own bindings never
+    widen the result.  Rows where an optional-bound shared variable is
+    null take a null-aware nested-loop semi/anti join against the
+    block's DISTINCT shared bindings instead of the equi join; that
+    side is exactly the null-bearing rows, the rest stays on the
+    shuffled fast path.  The spec's divergence from
     MINUS is preserved: with NO shared variable, EXISTS/NOT EXISTS
     degenerate to a boolean gate on whether the block has ANY solution
     (compiled as a 1-row LocalLimit broadcast — ``FILTER NOT EXISTS
@@ -305,6 +311,9 @@ def compile_bgp(
             cur = cur.join(neg.select(*shared), shared, "left_anti")
     for pat in optional:
         cur = join_in(cur, pat, "left")
+    opt_vars = {
+        t[1:] for pat in optional for t in pat if t.startswith("?")
+    }
     for block, keep in ((exists, True), (not_exists, False)):
         if not block:
             continue
@@ -315,7 +324,34 @@ def compile_bgp(
         shared = [c for c in cur.columns if c in blk.columns]
         how = "left_semi" if keep else "left_anti"
         if shared:
-            cur = cur.join(blk.select(*shared).distinct(), shared, how)
+            blk_s = blk.select(*shared).distinct()
+            # SPARQL substitution semantics: a shared variable left
+            # UNBOUND by OPTIONAL is free inside the block, not an
+            # equality constraint — an equi semi/anti join would make
+            # EXISTS drop such rows and NOT EXISTS always keep them.
+            # Only optional-bound variables can be null, so the
+            # null-aware path (IS NULL OR equal per variable — a
+            # nested-loop join against the DISTINCT shared-binding
+            # set) runs over just the null-bearing rows; everything
+            # else takes the shuffled equi join.
+            nullable = [c for c in shared if c in opt_vars]
+            if not nullable:
+                cur = cur.join(blk_s, shared, how)
+            else:
+                has_null = F.lit(False)
+                for c in nullable:
+                    has_null = has_null | F.col(c).isNull()
+                solid = cur.filter(~has_null).join(blk_s, shared, how)
+                o, b = cur.filter(has_null).alias("__o"), blk_s.alias(
+                    "__b"
+                )
+                cond = F.lit(True)
+                for c in shared:
+                    cond = cond & (
+                        F.col(f"__o.{c}").isNull()
+                        | (F.col(f"__o.{c}") == F.col(f"__b.{c}"))
+                    )
+                cur = solid.unionByName(o.join(b, cond, how))
         else:
             gate = blk.limit(1).select(F.lit(1).alias("__gate"))
             cur = (

@@ -1746,6 +1746,52 @@ def test_filter_exists_and_not_exists(spark):
     )
 
 
+def test_filter_exists_unbound_optional_var_is_free(spark):
+    """SPARQL substitution semantics (round-4 ADVICE): a shared
+    variable left UNBOUND by OPTIONAL is FREE inside an EXISTS/NOT
+    EXISTS block — the row must not be equi-dropped (EXISTS) or
+    blanket-kept (NOT EXISTS).  ?v is null for :d2 (no :next); the
+    block (?v :flag ?w) has a solution under a free ?v, so EXISTS
+    keeps :d2 and NOT EXISTS drops it."""
+    from mhdb_tables2turtles_spark.web.kgquery import compile_bgp
+
+    t = spark.createDataFrame(
+        [
+            (":d1", ":mentions", ":A"),
+            (":d2", ":mentions", ":B"),
+            (":A", ":next", ":X"),
+            (":X", ":flag", ":ok"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    base = [("?d", ":mentions", "?e")]
+    opt = [("?e", ":next", "?v")]
+
+    ex = compile_bgp(t, base, optional=opt, exists=[("?v", ":flag", "?w")])
+    got = {tuple(r) for r in ex.collect()}
+    # :d1 binds v=:X which matches; :d2 has v unbound -> free -> kept
+    assert got == {(":d1", ":A", ":X"), (":d2", ":B", None)}
+
+    nex = compile_bgp(
+        t, base, optional=opt, not_exists=[("?v", ":flag", "?w")]
+    )
+    assert nex.count() == 0
+
+    # bound-but-unmatched optional value still equi-filters: :Y has no
+    # :flag, so EXISTS drops it and NOT EXISTS keeps it
+    t2 = t.union(
+        spark.createDataFrame(
+            [(":B", ":next", ":Y")], ["subject", "predicate", "object"]
+        )
+    )
+    ex2 = compile_bgp(t2, base, optional=opt, exists=[("?v", ":flag", "?w")])
+    assert {tuple(r) for r in ex2.collect()} == {(":d1", ":A", ":X")}
+    nex2 = compile_bgp(
+        t2, base, optional=opt, not_exists=[("?v", ":flag", "?w")]
+    )
+    assert {tuple(r) for r in nex2.collect()} == {(":d2", ":B", ":Y")}
+
+
 def test_scc_and_bowtie_random_vs_kosaraju(spark):
     """Distributed SCC (coloring) and bow-tie agree with a driver-side
     Kosaraju + BFS reference on a deterministic 300-node random

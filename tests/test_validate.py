@@ -561,3 +561,27 @@ def test_read_turtle_dir_roundtrip(spark, tmp_path):
     assert canonical.exceptAll(back).count() == 0
     with pytest.raises(FileNotFoundError):
         read_turtle_dir(spark, str(tmp_path / "nope"))
+
+
+def test_read_turtle_skolemizes_bnodes_per_file(spark, tmp_path):
+    """Blank-node labels are document-scoped (RDF 1.1 Turtle §6.3):
+    '_:b0' in two files is two nodes.  read_turtle must NOT collapse
+    them in the unioned DataFrame — each file's labels (source '_:b0'
+    and parser-minted '_:genN' alike) get a per-file skolem prefix."""
+    from mhdb_tables2turtles_spark.sources.turtle import read_turtle
+
+    doc = '@prefix ex: <http://ex.org/> .\n_:b0 ex:p ex:a .\nex:c ex:r [ ex:q ex:b ] .\n'
+    for name in ("one.ttl", "two.ttl"):
+        (tmp_path / name).write_text(doc, encoding="utf-8")
+    rows = read_turtle(spark, str(tmp_path / "*.ttl")).collect()
+    assert len(rows) == 6
+    bnodes = {
+        t
+        for r in rows
+        for t in (r["subject"], r["object"])
+        if t.startswith("_:")
+    }
+    # 2 files x (1 labeled + 1 minted) = 4 distinct skolemized nodes
+    assert len(bnodes) == 4
+    labeled = sorted(b for b in bnodes if b.endswith("_b0"))
+    assert len(labeled) == 2 and labeled[0] != labeled[1]
