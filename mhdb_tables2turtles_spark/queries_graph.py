@@ -2289,9 +2289,12 @@ def q_kg_skipgram(spark, sf_dir):
     context) co-occurrences within a +/-2 window, corpus-aggregated."""
     from mhdb_tables2turtles_spark.web.walks import skipgram_pairs
 
-    return skipgram_pairs(
-        q_kg_walks(spark, sf_dir), window=_SKIPGRAM_WINDOW
-    )
+    # Materialize the walk corpus once: skipgram_pairs self-joins the
+    # exploded positions, and without a checkpoint each side of the
+    # self-join re-derives the full L-step walk chain (the two slowest
+    # r04 bench entries were this query and kg_walks).
+    corpus = q_kg_walks(spark, sf_dir).localCheckpoint(eager=True)
+    return skipgram_pairs(corpus, window=_SKIPGRAM_WINDOW)
 
 
 def _sql_skipgram(cooc_sql: str) -> str:

@@ -68,6 +68,11 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    if sym.isEmpty():
+        # no edges -> no labels; skip the propagation loop entirely (a
+        # first round over empty inputs still costs several checkpoint
+        # jobs — measurable fixed overhead on every no-merge epoch)
+        return labels
 
     for _ in range(max_iter):
         # propagate: each node offers its label to every neighbor
@@ -149,6 +154,11 @@ def merge_components(
     from scratch.
     """
     e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if e.isEmpty():
+        # a batch with no equivalence edges touches no component: the
+        # prior labeling IS the merged labeling (the common case for a
+        # routine re-crawl — skip the touched/active/star machinery)
+        return prev.select("node", "component")
     endpoints = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

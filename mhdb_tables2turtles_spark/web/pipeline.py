@@ -291,15 +291,21 @@ class KGPipeline:
         scorer short-circuits) equality is exact — tested both ways in
         test_web_pipeline.
 
-        Resume protocol: the epoch's stages commit under
-        ``<workdir>/epoch_<batch_id>/`` with the same manifest gating as
-        :meth:`run`; the epoch's triples append to the shared
-        ``triples_epochs`` table via partition-level lineage
+        Resume protocol: the epoch commits ONE stage
+        (``<workdir>/epoch_<batch_id>/triples``) — the extract → scan →
+        link → triples chain of a re-crawl batch runs as a single
+        uncommitted dataflow, because a batch is small by definition and
+        re-running it after a kill is cheaper than paying four
+        write + lineage-scan + read-back commit round-trips on EVERY
+        epoch (the round-4 bench measured the per-epoch floor as almost
+        entirely commit fixed cost).  The epoch's triples then append to
+        the shared ``triples_epochs`` table via partition-level lineage
         (:meth:`~materialize.StagedPipeline.incremental_stage`, one
         partition per crawl batch); the merged component labels and the
         rewritten canonical graph commit as per-epoch stages; the epoch
         enters ``_EPOCHS.json`` (atomic replace) LAST.  A kill anywhere
-        re-runs only uncommitted steps.
+        re-runs only uncommitted steps (at epoch granularity for the
+        batch chain, stage granularity after it).
         """
         import os
 
@@ -308,40 +314,54 @@ class KGPipeline:
         staged = self.staged
         spark = self.spark
 
-        # epoch stage graph — same shape as run(), isolated workdir
+        # epoch stage graph — isolated workdir, single commit
         ep = StagedPipeline(
             spark, os.path.join(staged.workdir, f"epoch_{batch_id}")
         )
-        extracted = ep.stage(
-            "extract",
-            lambda: new_pages.select(
+        parts: dict[str, DataFrame] = {}
+
+        def _build_chain(checkpoint: bool):
+            extracted = new_pages.select(
                 "url",
                 "warc_ts",
                 "lang",
                 extract_text_col(F.col("html")).alias("text"),
-            ),
-        )
-        n_new = ep.manifest("extract")["rows"]
-        mentions = ep.stage(
-            "mentions",
-            lambda: scan_mentions(extracted, self.surfaces),
-            upstream=("extract",),
-        )
-        linked = ep.stage(
-            "linked",
-            lambda: link_mentions(
+            )
+            if checkpoint:
+                # one in-memory materialization replaces the four
+                # parquet commits: extracted feeds scan AND link, and
+                # n_new (the per-epoch idf corpus size) needs a count
+                extracted = extracted.localCheckpoint(eager=True)
+                n_new = extracted.count()
+            else:  # resumed epoch: lazy twins for the return dict only
+                n_new = None
+            mentions = scan_mentions(extracted, self.surfaces)
+            linked = link_mentions(
                 mentions, self.vocab, extracted, self.profiles,
                 n_pages=n_new,
-            ),
-            upstream=("mentions", "extract"),
-        )
+            )
+            if checkpoint:
+                # page_entity_triples consumes linked via several
+                # branches (pairs + per-page IRIs); without the old
+                # committed-parquet snapshot each branch would re-run
+                # the scan+link chain
+                linked = linked.localCheckpoint(eager=True)
+            parts.update(
+                extract=extracted, mentions=mentions, linked=linked,
+                n_new=n_new,
+            )
+            return linked, n_new
+
         def _new_triples() -> DataFrame:
+            linked, n_new = _build_chain(checkpoint=True)
             t = page_entity_triples(linked, n_urls=n_new)
             if extra_equiv_edges is not None:
                 t = t.unionByName(_equiv_triples(extra_equiv_edges))
             return t
 
-        new_triples = ep.stage("triples", _new_triples, upstream=("linked",))
+        new_triples = ep.stage("triples", _new_triples)
+        if not parts:  # stage resumed from its committed snapshot
+            _build_chain(checkpoint=False)
 
         # append to the shared epoch-partitioned triple table (lineage =
         # done_partitions; re-running a committed batch is a no-op)
@@ -390,9 +410,9 @@ class KGPipeline:
         )
         self._commit_epoch(batch_id)
         return {
-            "extract": extracted,
-            "mentions": mentions,
-            "linked": linked,
+            "extract": parts["extract"],
+            "mentions": parts["mentions"],
+            "linked": parts["linked"],
             "triples": new_triples,
             "components": comps,
             "canonical": canonical,

@@ -79,7 +79,11 @@ def reach_from(edges: DataFrame, seeds: DataFrame) -> DataFrame:
         frontier = nxt
 
 
-def strongly_connected_components(edges: DataFrame) -> DataFrame:
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: "int | None" = None,
+    stats: "dict | None" = None,
+) -> DataFrame:
     """``(node, scc_id)`` over directed ``(src, dst)`` edges, where
     ``scc_id`` is the MINIMUM member id of the node's strongly
     connected component — a pure function of the graph, so the DuckDB
@@ -105,7 +109,36 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
     al. measure a handful of rounds on billion-edge crawls).  Inner
     loops are frontier-shaped: the color fixpoint re-propagates only
     nodes whose color CHANGED last round.
+
+    ROUND BOUND: each color fixpoint takes at most D+1 rounds and each
+    backward sweep at most D+1, where D is the diameter of the
+    remaining subgraph (a color/frontier moves one hop per round), so
+    total inner rounds <= peels x 2(D+1).  Web crawls have small
+    effective diameter, but an ADVERSARIAL high-diameter graph (a
+    100k-node chain whose ids descend along edges) makes the color
+    fixpoint O(|V|) rounds — unbounded wall-clock with no wrong
+    answer.  ``max_rounds`` is the escape hatch: a cap on TOTAL inner
+    rounds (color + sweep, across peels) that raises ``RuntimeError``
+    instead of looping silently; size it at ~2x the expected effective
+    diameter x expected peels.  ``stats`` (a caller dict) is filled
+    with the measured ``color_rounds`` / ``sweep_rounds`` / ``peels``
+    so tests and monitoring can pin the bound.
     """
+    rounds = {"color_rounds": 0, "sweep_rounds": 0, "peels": 0}
+
+    def _tick(kind: str) -> None:
+        rounds[kind] += 1
+        if (
+            max_rounds is not None
+            and rounds["color_rounds"] + rounds["sweep_rounds"]
+            > max_rounds
+        ):
+            raise RuntimeError(
+                f"strongly_connected_components exceeded max_rounds="
+                f"{max_rounds} ({rounds}); the input's effective "
+                "diameter is larger than expected — raise max_rounds "
+                "or pre-contract long chains"
+            )
     e0 = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
@@ -119,11 +152,13 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
         )  # schema anchor; also the empty-graph result
     ]
     while not nodes.isEmpty():
+        rounds["peels"] += 1
         # -- 1. forward max-color fixpoint (delta iteration) ---------
         colors = nodes.select("node", F.col("node").alias("color"))
         colors = colors.localCheckpoint(eager=True)
         changed = colors  # first round: everyone propagates
         while True:
+            _tick("color_rounds")
             pushed = (
                 e.join(
                     changed.withColumnRenamed("node", "u"), "u"
@@ -159,6 +194,7 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
         marked = roots.localCheckpoint(eager=True)
         frontier = marked
         while True:
+            _tick("sweep_rounds")
             cand = (
                 e.join(frontier.withColumnRenamed("node", "v"), "v")
                 .select(F.col("u").alias("node"), "color")
@@ -189,6 +225,8 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
             .join(nodes.withColumnRenamed("node", "v"), "v")
             .localCheckpoint(eager=True)
         )
+    if stats is not None:
+        stats.update(rounds)
     out = found[0]
     for part in found[1:]:
         out = out.unionByName(part)

@@ -1792,6 +1792,48 @@ def test_filter_exists_unbound_optional_var_is_free(spark):
     assert {tuple(r) for r in nex2.collect()} == {(":d2", ":B", ":Y")}
 
 
+def test_scc_round_bound_long_chain_and_escape_hatch(spark):
+    """Pin SCC round complexity (round-4 VERDICT item 7): on a
+    10k-node ascending path + two 8-cycles the coloring must settle in
+    rounds bounded by the CYCLE diameter, not the path length (one
+    peel, <= ~10 color rounds) — a per-node-round regression would
+    blow this bound 1000x.  And the max_rounds escape hatch must raise
+    instead of looping silently on the adversarial case (a descending
+    chain, whose color fixpoint is O(|V|) rounds per peel)."""
+    from mhdb_tables2turtles_spark.web.structure import (
+        strongly_connected_components,
+    )
+
+    n = 10_000
+    path = spark.range(n - 1).selectExpr("id as src", "id + 1 as dst")
+    rings = spark.createDataFrame(
+        [(n + c * 8 + i, n + c * 8 + (i + 1) % 8) for c in (0, 1) for i in range(8)],
+        ["src", "dst"],
+    )
+    stats: dict = {}
+    scc = strongly_connected_components(
+        path.union(rings), max_rounds=40, stats=stats
+    )
+    sizes = (
+        scc.groupBy("scc_id")
+        .count()
+        .groupBy("count")
+        .count()
+        .collect()
+    )
+    got = {r["count"]: r[1] for r in sizes}
+    assert got == {1: n, 8: 2}
+    assert stats["peels"] == 1
+    assert stats["color_rounds"] <= 10
+    assert stats["sweep_rounds"] <= 10
+
+    # adversarial: ids DESCEND along the chain -> the max id crawls one
+    # hop per round and each peel removes one node; the cap must fire
+    down = spark.range(29).selectExpr("id + 1 as src", "id as dst")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(down, max_rounds=15)
+
+
 def test_scc_and_bowtie_random_vs_kosaraju(spark):
     """Distributed SCC (coloring) and bow-tie agree with a driver-side
     Kosaraju + BFS reference on a deterministic 300-node random
