@@ -33,6 +33,45 @@ MANIFEST = "_STAGE_MANIFEST.json"
 LINEAGE_COL = "__lineage_part"
 
 
+def _lineage_from_footers(path: str) -> "dict[str, int] | None":
+    """Per-source-partition row counts read from the committed parquet
+    FOOTERS, driver-side — no Spark job.  Each write task emits one
+    file whose rows all carry the same ``LINEAGE_COL`` value (the
+    pre-write ``spark_partition_id``), so every row group's min==max
+    statistic identifies the partition and ``num_rows`` is its count.
+    Returns None (caller falls back to a Spark aggregation) whenever
+    the invariant doesn't hold — e.g. an explicit ``repartition``
+    between the lineage projection and the write mixed ids within a
+    file, or stats are missing."""
+    import pyarrow.parquet as pq
+
+    lineage: dict[str, int] = {}
+    try:
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fname)).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == LINEAGE_COL:
+                    idx = i
+                    break
+            if idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                if rg.num_rows == 0:
+                    continue
+                st = rg.column(idx).statistics
+                if st is None or not st.has_min_max or st.min != st.max:
+                    return None
+                key = str(st.min)
+                lineage[key] = lineage.get(key, 0) + rg.num_rows
+    except OSError:
+        return None
+    return lineage
+
+
 class StagedPipeline:
     """Chain DataFrame stages with commit/resume per stage."""
 
@@ -86,15 +125,19 @@ class StagedPipeline:
         elapsed = round(_time.time() - t0, 2)
 
         # per-partition lineage: row counts per source partition, read
-        # back from the committed files (parquet stats; single small scan
-        # of one int column)
-        lineage = {
-            str(r[LINEAGE_COL]): r["n"]
-            for r in self.spark.read.parquet(path)
-            .groupBy(LINEAGE_COL)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # driver-side from the committed parquet footers (min==max row
+        # group stats on the lineage column — zero Spark jobs); the
+        # Spark aggregation only runs when a repartition mixed
+        # partition ids within a file
+        lineage = _lineage_from_footers(path)
+        if lineage is None:
+            lineage = {
+                str(r[LINEAGE_COL]): r["n"]
+                for r in self.spark.read.parquet(path)
+                .groupBy(LINEAGE_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         manifest = {
             "stage": name,
             "rows": obs.get["rows"],
