@@ -252,15 +252,43 @@ def main() -> None:
     # per-round config) the bounded single-retry guard below still
     # protects the worst victims.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+
+    # History-aware burst threshold: BENCH/query_minima.json keeps the
+    # best quiet-window timing ever recorded per (sf, query) — a
+    # monotone floor across runs.  A query suddenly measuring >2.5x its
+    # floor (and >1.5s absolute) is almost always a burst victim even
+    # when it stays under the 12s absolute guard (observed:
+    # kg_star_join 9.5s during a burst vs a 2.9s quiet-window minimum),
+    # so it gets the same bounded single re-time.  Retries are capped
+    # per run so a build that genuinely got slower costs at most 15
+    # extra timings, not a doubled bench wall-clock.
+    here = os.path.dirname(os.path.abspath(__file__))
+    minima_path = os.path.join(here, "BENCH", "query_minima.json")
+    hist: dict[str, float] = {}
+    try:
+        with open(minima_path) as f:
+            hist = {
+                k: float(v)
+                for k, v in json.load(f).get(sf, {}).items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass
+    retries_left = 15
+
     per_query: dict[str, float] = {}
     for _ in range(max(reps, 1)):
         for name in BENCH_QUERIES:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
-            if reps == 1 and dt > 12.0:
+            threshold = 12.0
+            if name in hist:
+                threshold = min(12.0, max(1.5, 2.5 * hist[name]))
+            if reps == 1 and dt > threshold and retries_left > 0:
                 # one bounded re-time: genuinely slow queries stay slow
                 # in both runs; burst victims recover
+                retries_left -= 1
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).count()
                 dt = min(dt, round(time.time() - t0, 3))
@@ -317,11 +345,24 @@ def main() -> None:
     # So: persist the full summary to disk, print it on an early line
     # for human logs, and END with a compact line that always fits —
     # totals + the slowest queries + a pointer to the full file.
-    here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(here, "BENCH", "last_bench.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(summary, f)
+
+    # fold this run's timings into the per-sf quiet-window floor used
+    # by the burst guard above (monotone min across runs)
+    try:
+        with open(minima_path) as f:
+            all_minima = json.load(f)
+    except (OSError, ValueError):
+        all_minima = {}
+    sf_minima = all_minima.setdefault(sf, {})
+    for name, dt in per_query.items():
+        old = sf_minima.get(name)
+        sf_minima[name] = min(old, dt) if isinstance(old, (int, float)) else dt
+    with open(minima_path, "w", encoding="utf-8") as f:
+        json.dump(all_minima, f, indent=0, sort_keys=True)
     print(json.dumps(summary))
     compact = dict(summary)
     slowest = dict(
