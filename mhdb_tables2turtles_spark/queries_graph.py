@@ -2000,7 +2000,15 @@ def q_kg_bgp_optimized(spark, sf_dir):
     physical reorder itself is asserted in tests/test_graph.py."""
     from mhdb_tables2turtles_spark.web.kgquery import compile_bgp_optimized
 
-    triples = _mention_plus_cooc_triples(spark, sf_dir)
+    # Materialize the triple table once: the cost-based pre-pass runs a
+    # predicate-count action over it BEFORE the reordered BGP scans it
+    # again per pattern (A/B at sf0.1: 4.98s -> 3.95s, identical rows).
+    # The other BGP-family queries skip this — for their single pass the
+    # lazy mention-scan checkpoint inside _mention_plus_cooc_triples
+    # already captures the reuse and an eager write measured as a wash.
+    triples = _mention_plus_cooc_triples(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     out = compile_bgp_optimized(
         triples,
         [
