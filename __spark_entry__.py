@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
-def _driver_staleness() -> dict[str, int]:
+def _driver_staleness(artifact_dir: "str | None" = None) -> dict[str, int]:
     """Last round each query appeared in a driver CORRECTNESS_r*.json
     artifact (absent queries -> -1).  Used to ORDER the catalog so the
     driver's 50-query gate cap always checks the least-recently-checked
@@ -40,7 +40,7 @@ def _driver_staleness() -> dict[str, int]:
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -58,8 +58,17 @@ def _driver_staleness() -> dict[str, int]:
                 # mismatched row (e.g. kg_named_graphs' r04 canonicalizer
                 # TypeError) must keep the query at the front of the
                 # rotation so the next capped gate re-verifies the fix.
-                ok = isinstance(row, dict) and bool(
-                    row.get("hash_match") or row.get("rows_match")
+                # hash_match is the gate's value check; a row with
+                # rows_match=true but hash_match=false is a VALUE BUG
+                # and must stay at the front.  rows_match counts only
+                # for rows-only checks where hash_match is absent/null
+                # (queries without an oracle_sql entry).
+                ok = isinstance(row, dict) and (
+                    row.get("hash_match") is True
+                    or (
+                        row.get("hash_match") is None
+                        and row.get("rows_match") is True
+                    )
                 )
                 if ok:
                     last[name] = max(last.get(name, -1), rnd)

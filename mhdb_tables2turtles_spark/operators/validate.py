@@ -158,7 +158,9 @@ class _Parser:
     rest expansion would invent terms under a prefix the document may
     not declare)."""
 
-    def __init__(self, text: str, collect: bool = False):
+    def __init__(
+        self, text: str, collect: bool = False, bnode_prefix: str = ""
+    ):
         self.text = text
         self.toks = _Lexer(text).tokens
         self.i = 0
@@ -166,10 +168,15 @@ class _Parser:
         self.collect = collect
         self.triples: list[tuple[str, str, str]] = []
         self._bnode_n = 0
+        # distinguishes parser-MINTED anonymous labels from source
+        # labels when several parses contribute to one logical document
+        # (sources/turtle.py document scope): minted labels are
+        # per-parse counters and must not collide across fragments
+        self._bnode_prefix = bnode_prefix
 
     def _new_bnode(self) -> str:
         self._bnode_n += 1
-        return f"_:gen{self._bnode_n}"
+        return f"_:{self._bnode_prefix}gen{self._bnode_n}"
 
     # -- token helpers --
     def _peek(self):
@@ -355,7 +362,9 @@ def validate_turtle(
 
 
 def parse_turtle(
-    text: str, extra_prefixes: tuple[str, ...] = ()
+    text: str,
+    extra_prefixes: tuple[str, ...] = (),
+    bnode_prefix: str = "",
 ) -> "list[tuple[str, str, str]]":
     """Parse ``text`` as a turtleDoc and return its triples as
     surface-form ``(subject, predicate, object)`` term strings — the
@@ -363,8 +372,10 @@ def parse_turtle(
     ``sources/golden.py::parse_turtle_body``, and the kernel of the
     distributed Turtle source (sources/turtle.py).  Same strictness as
     :func:`validate_turtle`: any grammar violation raises
-    :class:`TurtleSyntaxError`."""
-    p = _Parser(text, collect=True)
+    :class:`TurtleSyntaxError`.  ``bnode_prefix`` uniquifies the
+    parser-minted anonymous-node labels when several parses contribute
+    to one logical document (see sources/turtle.py document scope)."""
+    p = _Parser(text, collect=True, bnode_prefix=bnode_prefix)
     p.prefixes.update(extra_prefixes)
     p.parse()
     return p.triples

@@ -773,20 +773,31 @@ def _sql_bpe_apply(prev: str, best: str, keep_w: bool = False) -> str:
     """One BPE merge round: boundary-anchored fold over the symbol
     array via list_reduce — mirrors ops/bpe.py::_apply_merge exactly.
     A raw substring replace() is WRONG for multi-char symbols (matches
-    across the '  ' separator), so both engines fold."""
+    across the '  ' separator), so both engines fold.
+
+    LEFT JOIN (not cross join) against the 1-row best-pair table: a
+    round with NO pairs left (degenerate corpus — every word a single
+    symbol before n_merges rounds) leaves ``b`` empty, and a cross
+    join would wipe the word table, cascading empty through every
+    later round and the encode join.  With the left join the fold is
+    identity (null guard), mirroring bpe_train's break: the word table
+    carries forward unchanged and the empty ``b{{i}}`` contributes no
+    rule row to the union."""
     wcol = "w, " if keep_w else ""
     return f"""
         select {wcol}list_reduce(string_split(ws, '  '),
             (acc, x) -> case
-                when (acc = b.l or ends_with(acc, '  ' || b.l))
+                when b.l is not null
+                     and (acc = b.l or ends_with(acc, '  ' || b.l))
                      and x = b.r
                     then substr(acc, 1, length(acc) - length(b.l))
                          || b.l || b.r
                 else acc || '  ' || x end) as ws,
             n
-        from {prev}, (select string_split(pair, '  ')[1] as l,
-                             string_split(pair, '  ')[2] as r
-                      from {best}) b"""
+        from {prev} left join
+             (select string_split(pair, '  ')[1] as l,
+                     string_split(pair, '  ')[2] as r
+              from {best}) b on true"""
 
 
 def _sql_bpe_chain(n_merges: int, w0: str, keep_w: bool = False) -> str:

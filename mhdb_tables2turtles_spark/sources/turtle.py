@@ -44,7 +44,7 @@ def _skolemize(term: str, file_tag: str) -> str:
     return term
 
 
-def _parse_files(prefixes: tuple[str, ...]):
+def _parse_files(prefixes: tuple[str, ...], scope: str = "file"):
     from mhdb_tables2turtles_spark.operators.validate import parse_turtle
 
     def gen(batches):
@@ -56,16 +56,31 @@ def _parse_files(prefixes: tuple[str, ...]):
             rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 tag = hashlib.sha1(str(path).encode("utf-8")).hexdigest()[:12]
-                for s, p, o in parse_turtle(
-                    bytes(blob).decode("utf-8"), extra_prefixes=prefixes
-                ):
-                    rows.append(
-                        {
-                            "subject": _skolemize(s, tag),
-                            "predicate": p,
-                            "object": _skolemize(o, tag),
-                        }
+                if scope == "document":
+                    # fragments of ONE logical document (the sink's
+                    # header + part-* shards): source labels must
+                    # cohere across files, so only the parser-MINTED
+                    # anonymous labels are uniquified per fragment
+                    triples = parse_turtle(
+                        bytes(blob).decode("utf-8"),
+                        extra_prefixes=prefixes,
+                        bnode_prefix=f"f{tag}_",
                     )
+                    for s, p, o in triples:
+                        rows.append(
+                            {"subject": s, "predicate": p, "object": o}
+                        )
+                else:
+                    for s, p, o in parse_turtle(
+                        bytes(blob).decode("utf-8"), extra_prefixes=prefixes
+                    ):
+                        rows.append(
+                            {
+                                "subject": _skolemize(s, tag),
+                                "predicate": p,
+                                "object": _skolemize(o, tag),
+                            }
+                        )
             yield pd.DataFrame(
                 rows, columns=["subject", "predicate", "object"]
             )
@@ -77,15 +92,26 @@ def read_turtle(
     spark: SparkSession,
     path: str,
     extra_prefixes: tuple[str, ...] = (),
+    scope: str = "file",
 ) -> DataFrame:
     """Parse every Turtle file matched by ``path`` (a file, directory,
     or glob — ``binaryFile`` semantics) into one triple DataFrame.
     Each file must be a self-contained turtleDoc modulo
     ``extra_prefixes`` (prefixes declared elsewhere, e.g. a shared
-    header).  Grammar violations fail the task loudly."""
+    header).  Grammar violations fail the task loudly.
+
+    ``scope`` sets blank-node label scope (RDF 1.1 Turtle §6.3):
+    ``"file"`` (default) treats each file as an independent document —
+    every label is skolemized per file, so ``_:x`` in two files stays
+    two nodes; ``"document"`` treats the matched files as fragments of
+    ONE document — source labels are kept verbatim (``_:x`` reunites
+    across fragments) and only parser-minted anonymous labels are
+    uniquified per fragment."""
+    if scope not in ("file", "document"):
+        raise ValueError(f"scope must be 'file' or 'document': {scope!r}")
     files = spark.read.format("binaryFile").load(path)
     return files.mapInPandas(
-        _parse_files(tuple(extra_prefixes)), schema=_TRIPLES_DDL
+        _parse_files(tuple(extra_prefixes), scope), schema=_TRIPLES_DDL
     )
 
 
@@ -109,4 +135,9 @@ def read_turtle_dir(spark: SparkSession, ttl_dir: str) -> DataFrame:
     parts = os.path.join(ttl_dir, "part-*")
     if not _glob.glob(parts):
         raise FileNotFoundError(f"no part-* shards under {ttl_dir!r}")
-    return read_turtle(spark, parts, extra_prefixes=prefixes)
+    # the shards are fragments of ONE document (write_body_shards range-
+    # partitions subject blocks with no bnode-locality guarantee), so a
+    # labeled node split across shards must reunite on read
+    return read_turtle(
+        spark, parts, extra_prefixes=prefixes, scope="document"
+    )

@@ -309,11 +309,17 @@ def compile_bgp(
         shared = [c for c in cur.columns if c in neg.columns]
         if shared:  # disjoint MINUS removes nothing (SPARQL spec)
             cur = cur.join(neg.select(*shared), shared, "left_anti")
+    bound_before_opt = set(cur.columns) if cur is not None else set()
     for pat in optional:
         cur = join_in(cur, pat, "left")
+    # only variables INTRODUCED by OPTIONAL can be unbound: a variable
+    # the required block already binds stays non-null through the left
+    # joins, so keeping it out of opt_vars lets EXISTS blocks sharing
+    # it compile to the plain equi semi/anti join instead of the
+    # split solid/null-aware union plan
     opt_vars = {
         t[1:] for pat in optional for t in pat if t.startswith("?")
-    }
+    } - bound_before_opt
     for block, keep in ((exists, True), (not_exists, False)):
         if not block:
             continue

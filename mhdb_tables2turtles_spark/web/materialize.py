@@ -67,7 +67,10 @@ def _lineage_from_footers(path: str) -> "dict[str, int] | None":
                     return None
                 key = str(st.min)
                 lineage[key] = lineage.get(key, 0) + rg.num_rows
-    except OSError:
+    except (OSError, ValueError):
+        # pyarrow raises ArrowInvalid (a ValueError subclass, NOT an
+        # OSError) on a truncated/unparseable footer — fall back to the
+        # Spark aggregation either way
         return None
     return lineage
 

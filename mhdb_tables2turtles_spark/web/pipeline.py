@@ -333,8 +333,16 @@ class KGPipeline:
                 # n_new (the per-epoch idf corpus size) needs a count
                 extracted = extracted.localCheckpoint(eager=True)
                 n_new = extracted.count()
-            else:  # resumed epoch: lazy twins for the return dict only
-                n_new = None
+            else:
+                # resumed epoch: twins for the return dict only — but
+                # link_mentions builds its idf subtree eagerly when the
+                # vocab has ambiguous surfaces, and token_idf's
+                # n_pages=None fallback would count(extracted), running
+                # the full extract UDF over the batch at build time.
+                # Count the RAW input instead: extract is a 1:1 select,
+                # so the cardinality is identical and the count never
+                # touches the UDF.
+                n_new = new_pages.count()
             mentions = scan_mentions(extracted, self.surfaces)
             linked = link_mentions(
                 mentions, self.vocab, extracted, self.profiles,

@@ -470,3 +470,50 @@ def test_cdc_dedup_shift_robust(spark):
         for r in segment_dedup(docs, k=4).collect()
     }
     assert seg[0] == 0 and seg[1] == 0  # fixed strides misalign
+
+
+def test_bpe_degenerate_corpus_parity(spark, tmp_path):
+    """A corpus whose vocabulary runs out of adjacent pairs BEFORE
+    n_merges rounds (every word a single symbol): bpe_train breaks and
+    returns fewer rules; bpe_encode still emits one row per doc with
+    n_bpe_tokens == n_words.  The DuckDB oracles must mirror both — a
+    cross join against the empty best-pair table used to wipe the word
+    table (zero encode rows); the LEFT JOIN fold keeps it intact."""
+    import duckdb
+    import pandas as pd
+
+    from mhdb_tables2turtles_spark.ops.bpe import bpe_encode, bpe_train
+    from mhdb_tables2turtles_spark.queries_cleaning import (
+        _SQL_BPE,
+        _SQL_BPE_ENCODE,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "a a b", "c c c c"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [5, 5, 7],
+        }
+    )
+    pq = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(pq)
+    docs = spark.read.parquet(pq)
+
+    assert bpe_train(docs, n_merges=5).count() == 0
+    enc_s = sorted(
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, n_merges=5).collect()
+    )
+    assert enc_s == [(1, 3, 3), (2, 3, 3), (3, 4, 4)]
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{pq}')"
+    )
+    assert len(con.execute(_SQL_BPE).df()) == 0
+    enc_o = sorted(
+        map(tuple, con.execute(_SQL_BPE_ENCODE).df().values.tolist())
+    )
+    assert enc_o == enc_s

@@ -96,3 +96,50 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["subject", "predicate", "object"]
+
+
+def test_staleness_counts_only_value_green_rows(tmp_path):
+    """A driver row with rows_match=true but hash_match=false is a
+    VALUE BUG, not a green check: the query must keep staleness -1 so
+    the next capped gate re-verifies it.  rows_match counts only when
+    hash_match is absent/null (rows-only checks without an oracle)."""
+    import json
+
+    from __spark_entry__ import _driver_staleness
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps(
+            {
+                "green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+                "value_bug": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "err": None,
+                },
+                "rows_only": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": None,
+                    "err": None,
+                },
+                "errored": {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "err": "boom",
+                },
+            }
+        ),
+        encoding="utf-8",
+    )
+    last = _driver_staleness(str(tmp_path))
+    assert last.get("green") == 7
+    assert last.get("rows_only") == 7
+    assert "value_bug" not in last
+    assert "errored" not in last

@@ -585,3 +585,49 @@ def test_read_turtle_skolemizes_bnodes_per_file(spark, tmp_path):
     assert len(bnodes) == 4
     labeled = sorted(b for b in bnodes if b.endswith("_b0"))
     assert len(labeled) == 2 and labeled[0] != labeled[1]
+
+
+def test_read_turtle_document_scope_reunites_labels(spark, tmp_path):
+    """scope='document' (what read_turtle_dir uses): the matched files
+    are fragments of ONE document, so a source label split across
+    fragments — '_:x' as object in shard A, as subject of its own
+    block in shard B — reunites into one node, while parser-minted
+    anonymous nodes stay distinct per fragment."""
+    from mhdb_tables2turtles_spark.sources.turtle import read_turtle
+
+    (tmp_path / "part-0.ttl").write_text(
+        '@prefix ex: <http://ex.org/> .\n'
+        'ex:a ex:p _:x .\n'
+        'ex:c ex:r [ ex:q ex:b ] .\n',
+        encoding="utf-8",
+    )
+    (tmp_path / "part-1.ttl").write_text(
+        '@prefix ex: <http://ex.org/> .\n'
+        '_:x ex:s ex:d .\n'
+        'ex:e ex:r [ ex:q ex:f ] .\n',
+        encoding="utf-8",
+    )
+    rows = read_turtle(
+        spark, str(tmp_path / "part-*.ttl"), scope="document"
+    ).collect()
+    bnodes = {
+        t
+        for r in rows
+        for t in (r["subject"], r["object"])
+        if t.startswith("_:")
+    }
+    # one reunited labeled node + two per-fragment anonymous nodes
+    assert "_:x" in bnodes and len(bnodes) == 3
+    # the labeled node is connected: object in one triple, subject in
+    # another — the graph is NOT disconnected by the shard boundary
+    assert any(r["object"] == "_:x" for r in rows)
+    assert any(r["subject"] == "_:x" for r in rows)
+    # file scope on the same input keeps the labels apart
+    rows_f = read_turtle(spark, str(tmp_path / "part-*.ttl")).collect()
+    bn_f = {
+        t
+        for r in rows_f
+        for t in (r["subject"], r["object"])
+        if t.startswith("_:")
+    }
+    assert len(bn_f) == 4 and "_:x" not in bn_f
