@@ -96,9 +96,13 @@ def q_kg_mentions(spark, sf_dir):
     return _mention_counts(spark, sf_dir)
 
 
-def q_kg_triples(spark, sf_dir):
-    """Row->triple minting with the reference's IRI kernel (pandas UDF)."""
-    m = _mention_counts(spark, sf_dir)
+def q_kg_triples(spark, sf_dir, mentions: "DataFrame | None" = None):
+    """Row->triple minting with the reference's IRI kernel (pandas UDF).
+
+    ``mentions`` lets a composite query (e.g. kg_canonical_triples) pass
+    an already-materialized ``_mention_counts`` result so the
+    Aho-Corasick scan runs once per query, not once per consumer."""
+    m = mentions if mentions is not None else _mention_counts(spark, sf_dir)
     return m.select(
         udfs.iri(
             F.concat(F.lit("doc "), F.col("doc_id").cast("string")), "delimited"
@@ -116,9 +120,24 @@ _SQL_KG_TRIPLES = f"""
 """
 
 
-def q_kg_cooccurrence(spark, sf_dir):
-    """Page-local co-mention edges (self-join keyed on doc — no skew)."""
-    m = _mention_counts(spark, sf_dir).select("doc_id", "term").distinct()
+def q_kg_cooccurrence(spark, sf_dir, mentions: "DataFrame | None" = None):
+    """Page-local co-mention edges (self-join keyed on doc — no skew).
+
+    ``mentions`` — optional pre-materialized ``_mention_counts`` result
+    (see :func:`q_kg_triples`).
+
+    The distinct (doc_id, term) set is localCheckpointed before the
+    self-join: without it BOTH join sides re-execute the Aho-Corasick
+    scan (Spark does not reuse the common subtree across self-join
+    aliases), and every downstream consumer of the co-mention graph
+    pays the dominant scan twice.  At cluster scale the same role is
+    played by the staged pipeline's committed mentions table."""
+    m = (
+        (mentions if mentions is not None else _mention_counts(spark, sf_dir))
+        .select("doc_id", "term")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, "doc_id")

@@ -496,7 +496,10 @@ def q_kg_star_join(spark, sf_dir):
     from mhdb_tables2turtles_spark.queries import q_kg_triples
     from mhdb_tables2turtles_spark.web.kgquery import bgp_star
 
-    return bgp_star(q_kg_triples(spark, sf_dir), _STAR_PATTERNS)
+    # bgp_star consumes the triple table twice (hit-set agg + semi-join
+    # probe); materialize it once so the mention scan runs once
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=False)
+    return bgp_star(triples, _STAR_PATTERNS)
 
 
 def _sql_star(triples_sql: str) -> str:
@@ -529,7 +532,8 @@ def q_kg_triple_diff(spark, sf_dir):
     from mhdb_tables2turtles_spark.queries import _mention_counts
     from mhdb_tables2turtles_spark.web.kgquery import triple_diff
 
-    m = _mention_counts(spark, sf_dir)
+    # both snapshots filter the SAME scan output; materialize it once
+    m = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
 
     def mint(side):
         return side.select(
@@ -877,13 +881,16 @@ def q_kg_edge_lift(spark, sf_dir):
         q_kg_cooccurrence,
     )
 
-    m = _mention_counts(spark, sf_dir).select("doc_id", "term").distinct()
+    # one scan feeds the document-frequency branch AND the co-mention
+    # join (q_kg_cooccurrence re-distincts + checkpoints internally)
+    mentions = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
+    m = mentions.select("doc_id", "term").distinct()
     df = m.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .agg(F.count("*").alias("n_docs"))
     )
-    e = q_kg_cooccurrence(spark, sf_dir).filter(
+    e = q_kg_cooccurrence(spark, sf_dir, mentions=mentions).filter(
         F.col("n_docs") >= _PR_MIN_DOCS
     ).withColumnRenamed("n_docs", "n_ab")
     return (
@@ -928,7 +935,8 @@ def q_kg_degree_hist(spark, sf_dir):
     rounding at exact powers of two is not portable."""
     from mhdb_tables2turtles_spark.queries import q_kg_cooccurrence
 
-    e = q_kg_cooccurrence(spark, sf_dir)
+    # the unionAll consumes the co-mention join twice; materialize it
+    e = q_kg_cooccurrence(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("term_a").alias("term"))
         .unionAll(e.select(F.col("term_b").alias("term")))
@@ -1607,6 +1615,7 @@ def q_kg_canonical_triples(spark, sf_dir):
     from mhdb_tables2turtles_spark.functions import udfs
     from mhdb_tables2turtles_spark.ops.common import hash60
     from mhdb_tables2turtles_spark.queries import (
+        _mention_counts,
         q_kg_cooccurrence,
         q_kg_triples,
     )
@@ -1616,8 +1625,13 @@ def q_kg_canonical_triples(spark, sf_dir):
         rewrite_triples,
     )
 
+    # one Aho-Corasick scan feeds BOTH the equivalence-edge branch and
+    # the triple-mint branch (same device as kg_rdfs_closure's base
+    # materialization — the scan is the dominant cost and CC's eager
+    # checkpoints force it during construction anyway)
+    mentions = _mention_counts(spark, sf_dir).localCheckpoint(eager=False)
     eq = (
-        q_kg_cooccurrence(spark, sf_dir)
+        q_kg_cooccurrence(spark, sf_dir, mentions=mentions)
         .filter(
             (F.col("n_docs") >= _PR_MIN_DOCS)
             & (
@@ -1632,7 +1646,9 @@ def q_kg_canonical_triples(spark, sf_dir):
         )
     )
     mapping = canonical_mapping(connected_components(eq))
-    return rewrite_triples(q_kg_triples(spark, sf_dir), mapping)
+    return rewrite_triples(
+        q_kg_triples(spark, sf_dir, mentions=mentions), mapping
+    )
 
 
 def _sql_canonical_triples(cooc_sql: str, triples_sql: str) -> str:
