@@ -70,8 +70,12 @@ def test_golden_triple_equivalence(spark, workbook, golden_triples):
         f"P={precision:.4f} R={recall:.4f}\n"
         f"missing={missing}\nextra={extra}"
     )
-    # stretch: we aim for exact reproduction
-    assert precision >= 0.99 and recall >= 0.99, (
+    # exact reproduction, including the golden file's dangling
+    # :Chill-InducingMusicMayPromoteAltruisticBeh hasClaim object (a
+    # leading-space cell truncated unstripped on the paper side,
+    # ingest.py:3333-3338, but stripped on the Claim-node side,
+    # ingest.py:3751-3752 — recovered by the reverse fixture)
+    assert ours == golden_triples, (
         f"P={precision:.4f} R={recall:.4f}\n"
         f"missing={missing}\nextra={extra}"
     )
