@@ -1,8 +1,9 @@
 """Mention detection + (subj, pred, obj) triple extraction over web pages.
 
-Arrow-batched ``mapInPandas`` runs the Aho-Corasick automaton
-(:mod:`trie`) over each page's extracted text; the surface list rides in a
-Spark broadcast and the automaton is memoized per worker.  Everything
+Arrow-batched ``mapInPandas`` runs the token-index matcher (:mod:`trie`;
+match-set-identical to its Aho-Corasick automaton, differential-tested)
+over each page's extracted text; the surface list rides in a
+Spark broadcast and the matcher is memoized per worker.  Everything
 downstream of the scan is built-in DataFrame ops (broadcast joins,
 groupBy) — no per-row Python.
 
@@ -21,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mhdb_tables2turtles_spark.functions import udfs
-from mhdb_tables2turtles_spark.web.trie import automaton_for
+from mhdb_tables2turtles_spark.web.trie import matcher_for
 
 __all__ = ["scan_mentions", "page_entity_triples", "cooccurrence_edges"]
 
@@ -64,18 +65,42 @@ def scan_mentions(
 
     def scan(batches):
         patterns = bc.value
-        auto = automaton_for(patterns)
+        # token-indexed matcher: identical match set to the Aho-Corasick
+        # automaton (differential-tested in tests/test_web_pipeline.py)
+        # at ~2x the scan throughput — this loop is the engine's hottest
+        matcher = matcher_for(patterns)
         for pdf in batches:
-            rows = []
+            # columnar accumulation: a page yields ~10^2 mentions, so a
+            # 150k-page corpus emits ~10^7 rows per worker — building
+            # them as per-column lists skips one tuple allocation per
+            # row AND pandas' row-to-column transpose (the stage's
+            # former top cost, ahead of the scan itself)
+            c_url: list = []
+            c_surface: list = []
+            c_start: list = []
+            c_end: list = []
+            c_rest: tuple[list, ...] = tuple([] for _ in extra)
             for url, text, *rest in pdf[in_cols].itertuples(
                 index=False, name=None
             ):
                 if not text:
                     continue
                 low = text.lower()
-                for start, end, idx in auto.find_words(low):
-                    rows.append((url, patterns[idx], start, end, *rest))
-            yield pd.DataFrame(rows, columns=out_cols)
+                n0 = len(c_start)
+                for start, end, idx in matcher.find_words(low):
+                    c_surface.append(patterns[idx])
+                    c_start.append(start)
+                    c_end.append(end)
+                n_hits = len(c_start) - n0
+                if n_hits:
+                    c_url.extend([url] * n_hits)
+                    for col, val in zip(c_rest, rest):
+                        col.extend([val] * n_hits)
+            data = {"url": c_url, "surface": c_surface,
+                    "start": c_start, "end": c_end}
+            for name, col in zip(extra, c_rest):
+                data[name] = col
+            yield pd.DataFrame(data, columns=out_cols)
 
     return pages.select(*in_cols).mapInPandas(scan, schema=out_schema)
 

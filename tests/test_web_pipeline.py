@@ -38,6 +38,43 @@ def test_aho_corasick_word_boundaries():
     assert "go/no-go task" in surfaces
 
 
+def test_token_index_matcher_equals_aho_corasick():
+    """The scan's hot path (TokenIndexMatcher) must emit the exact match
+    SET the Aho-Corasick reference emits — nested phrases, overlapping
+    occurrences, shared first tokens, separators inside patterns, and
+    patterns starting with a non-word char (fallback path) included."""
+    import random
+
+    from mhdb_tables2turtles_spark.web.trie import TokenIndexMatcher
+
+    vocab = [
+        "chill", "chills", "music", "go/no-go task", "anxiety",
+        "anxiety disorder", "generalized anxiety disorder", "panic",
+        "panic attack", "panicattack", "st. john's wort", "adhd",
+        "x", "x y", "x y z", "obsessive-compulsive", "self_report",
+        "2-back", "n-back", "-leading", "'quoted",
+    ]
+    words = [
+        "chill", "chills", "music", "go", "no", "task", "anxiety",
+        "disorder", "generalized", "panic", "attack", "panicattack",
+        "st", "john", "wort", "adhd", "x", "y", "z", "lorem",
+        "self_report", "2", "n", "back", "obsessive", "compulsive",
+        "leading", "quoted",
+    ] + [f"w{i}" for i in range(40)]
+    seps = [" ", "  ", "-", "/", ". ", "'", ", ", "\n"]
+    auto = AhoCorasick(vocab)
+    matcher = TokenIndexMatcher(vocab)
+    rng = random.Random(7)
+    for _ in range(200):
+        text = "".join(
+            rng.choice(words) + rng.choice(seps) for _ in range(400)
+        ).lower()
+        assert set(auto.find_words(text)) == set(matcher.find_words(text))
+    # edge cases: text boundaries, empty text
+    assert set(matcher.find_words("")) == set()
+    assert set(auto.find_words("x y z")) == set(matcher.find_words("x y z"))
+
+
 def test_vocabulary_from_golden():
     vf = vocab_mod.vocabulary_frame()
     assert len(vf) > 300
