@@ -47,11 +47,12 @@ def scan_mentions(
     event time without a stream-stream re-join back to the page source —
     unbounded join state avoided by construction).
 
-    The scan itself is O(page_len + matches) per page: the automaton walk
-    is linear and each hit appends one tuple.  (An earlier revision also
-    computed a per-match prefix space count — O(matches x page_len),
-    quadratic on mention-dense pages — for a column no consumer read; it
-    is deliberately gone.)
+    The scan itself is O(page_len + matches) per page: C-speed
+    tokenization, one dict probe per word token, and one per-column
+    append per hit (see :class:`~.trie.TokenIndexMatcher`).  (An earlier
+    revision also computed a per-match prefix space count —
+    O(matches x page_len), quadratic on mention-dense pages — for a
+    column no consumer read; it is deliberately gone.)
     """
     spark = pages.sparkSession
     bc = spark.sparkContext.broadcast(tuple(surfaces))

@@ -179,25 +179,26 @@ _CACHE: dict[tuple, AhoCorasick] = {}
 _MATCHER_CACHE: dict[tuple, TokenIndexMatcher] = {}
 
 
+def _memoized(cache: dict, patterns: tuple, ctor):
+    """Per-worker memoization, bounded for long-lived workers: on
+    overflow past 4 entries keep only the 2 most recent (one shared
+    eviction policy for both matcher kinds)."""
+    m = cache.get(patterns)
+    if m is None:
+        m = cache[patterns] = ctor(list(patterns))
+        if len(cache) > 4:
+            for k in list(cache)[:-2]:
+                del cache[k]
+    return m
+
+
 def automaton_for(patterns: tuple[str, ...]) -> AhoCorasick:
     """Per-worker memoized automaton (key: the pattern tuple itself —
     broadcast lists are small; the automaton is the expensive part)."""
-    auto = _CACHE.get(patterns)
-    if auto is None:
-        auto = _CACHE[patterns] = AhoCorasick(list(patterns))
-        if len(_CACHE) > 4:  # keep the cache bounded on long-lived workers
-            for k in list(_CACHE)[:-2]:
-                del _CACHE[k]
-    return auto
+    return _memoized(_CACHE, patterns, AhoCorasick)
 
 
 def matcher_for(patterns: tuple[str, ...]) -> TokenIndexMatcher:
     """Per-worker memoized token-index matcher (same contract and match
     set as :func:`automaton_for`'s ``find_words``; the scan's hot path)."""
-    m = _MATCHER_CACHE.get(patterns)
-    if m is None:
-        m = _MATCHER_CACHE[patterns] = TokenIndexMatcher(list(patterns))
-        if len(_MATCHER_CACHE) > 4:
-            for k in list(_MATCHER_CACHE)[:-2]:
-                del _MATCHER_CACHE[k]
-    return m
+    return _memoized(_MATCHER_CACHE, patterns, TokenIndexMatcher)

@@ -55,10 +55,15 @@ def work(quanta: int) -> int:
 
 
 def run(n_procs: int, quanta: int = QUANTA) -> float:
-    t0 = time.monotonic()
+    """Pool creation stays OUTSIDE the timed window (same methodology as
+    machine_ceiling_probe.run: a cluster's executors pre-exist a job, so
+    forking N interpreters is not part of the bandwidth being measured —
+    with it inside, the hi config pays a fixed setup cost the lo config
+    barely sees and the two probes' ceilings stop being comparable)."""
     with mp.Pool(n_procs) as pool:
+        t0 = time.monotonic()
         pool.map(work, [quanta] * n_procs)
-    return time.monotonic() - t0
+        return time.monotonic() - t0
 
 
 def main() -> None:

@@ -57,30 +57,25 @@ def work(_) -> int:
 
 
 def run(n_procs: int, quanta_per_proc: int = 5) -> float:
-    """Elapsed seconds for n_procs workers x quanta_per_proc quanta each."""
+    """Elapsed seconds for n_procs workers x quanta_per_proc quanta each.
 
-    def job(_):
-        h = 0
-        for _ in range(quanta_per_proc):
-            h = work(0)
-        return h
-
+    Pool creation (forking the workers) happens OUTSIDE the timed
+    window — a cluster's executors exist before a job starts, so fork
+    cost is not part of the per-core throughput being measured."""
     with mp.Pool(n_procs) as pool:
-        t0 = time.time()
-        res = pool.map(_JOB, [quanta_per_proc] * n_procs)
-        dt = time.time() - t0
+        t0 = time.monotonic()
+        res = pool.map(_job, [quanta_per_proc] * n_procs)
+        dt = time.monotonic() - t0
     assert len(set(res)) == 1, "nondeterministic work result"
     return dt
 
 
 def _job(quanta: int) -> int:
+    """Picklable top-level worker body for Pool.map."""
     h = 0
     for _ in range(quanta):
         h = work(0)
     return h
-
-
-_JOB = _job  # picklable top-level target for Pool.map
 
 
 def main() -> None:
